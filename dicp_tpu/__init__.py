@@ -1,0 +1,39 @@
+"""dicp_tpu — TPU-native differentiable point-cloud registration & LiDAR odometry.
+
+A from-scratch JAX/XLA/Pallas framework with the full capability surface of
+utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
+
+* :mod:`dicp_tpu.registration` — jitted batched Gauss-Newton ICP
+  (lax.scan / lax.while_loop drivers, pt2pt & pt2pl, 2-D & 3-D, robust
+  losses, trimming, prior weights, per-element convergence freezing,
+  end-to-end gradients).
+* :mod:`dicp_tpu.svd_icp` — batched closed-form (Kabsch/SVD) pt2pt ICP.
+* :mod:`dicp_tpu.knn` / :mod:`dicp_tpu.ops.pallas_knn` — brute-force and
+  tiled-Pallas nearest-neighbor search.
+* :mod:`dicp_tpu.losses` — Huber / Cauchy / trim IRLS weights.
+* :mod:`dicp_tpu.se3` — Lie-group math (replaces pylgmath + torch.matrix_exp).
+* :mod:`dicp_tpu.parallel` — jax.sharding mesh utilities: batch-sharded
+  registration and map-sharded normal-equation psum reduction.
+* :mod:`dicp_tpu.odometry` — chained scan-to-scan odometry / pose graph.
+* :mod:`dicp_tpu.api` — drop-in ``ICP`` class with the reference's exact
+  call surface and ragged-input handling.
+"""
+
+from dicp_tpu.api import ICP, batch_size_handling
+from dicp_tpu.config import ICPConfig, config_from_yaml
+from dicp_tpu.registration import ICPResult, register, register_jit
+from dicp_tpu.svd_icp import pt2pt_svd_icp
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ICP",
+    "ICPConfig",
+    "ICPResult",
+    "batch_size_handling",
+    "config_from_yaml",
+    "pt2pt_svd_icp",
+    "register",
+    "register_jit",
+    "__version__",
+]

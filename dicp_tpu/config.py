@@ -1,0 +1,120 @@
+"""Configuration for the TPU-native ICP engine.
+
+The reference reads one YAML file at construction time (dICP/ICP.py:16-27,
+config/dICP_config.yaml:1-20).  Here the canonical configuration object is a
+frozen, hashable dataclass so it can be passed as a static argument to
+``jax.jit`` — every distinct config compiles a specialized XLA program (loss
+choice, icp type, dim, and iteration budget are all trace-time constants,
+which is what lets XLA fuse the whole Gauss-Newton step).  A YAML loader for
+the reference's exact schema is provided for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os.path as osp
+from typing import Optional
+
+import yaml
+
+DEFAULT_CONFIG_PATH = osp.join(osp.dirname(osp.abspath(__file__)), "configs", "dicp_config.yaml")
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static solver configuration.
+
+    Field semantics mirror the reference's constructor and YAML keys
+    (dICP/ICP.py:30-44, config/dICP_config.yaml).  Extra TPU-specific knobs:
+    ``tikhonov`` (normal-equation damping; the reference hardcodes 1e-12 at
+    dICP/ICP.py:200 which is below float32 resolution of the problem — None
+    auto-selects by dtype), ``driver`` (scan = differentiable fixed-bound
+    loop with converged-skip, while = non-differentiable early-exit loop),
+    and ``remat`` (rematerialize the GN step in reverse mode).
+    """
+
+    icp_type: str = "pt2pl"  # 'pt2pl' | 'pt2pt'
+    max_iterations: int = 100
+    tolerance: float = 1e-12
+    differentiable: bool = True
+
+    # per-call options in the reference icp() signature (dICP/ICP.py:46)
+    dim: int = 3
+    trim_dist: Optional[float] = None
+    loss_name: Optional[str] = None  # 'huber' | 'cauchy'
+    loss_metric: float = 1.0
+
+    # YAML-sourced parameters (config/dICP_config.yaml)
+    tanh_steepness: float = 5.0
+    target_pad_val: float = 1000.0
+    source_zeroes_are_pad: bool = False
+    const_iter: bool = False
+    use_gumbel: bool = False
+    gumbel_eps: float = 1e-10
+    gumbel_tau: float = 0.1
+    verbose: bool = False
+    match_ratio_thresh: float = 0.0
+
+    # TPU-native knobs (no reference counterpart)
+    tikhonov: Optional[float] = None
+    driver: str = "auto"  # 'auto' | 'scan' | 'while'
+    remat: bool = False
+    use_pallas_nn: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.icp_type not in ("pt2pt", "pt2pl"):
+            raise ValueError(f"icp_type must be 'pt2pt' or 'pt2pl', got {self.icp_type}")
+        if self.dim not in (2, 3):
+            raise ValueError("dim must be 2 or 3")  # dICP/ICP.py:79
+        if self.loss_name is not None and self.loss_name not in ("huber", "cauchy"):
+            raise ValueError(f"loss_name must be 'huber' or 'cauchy', got {self.loss_name}")
+        if self.driver not in ("auto", "scan", "while"):
+            raise ValueError(f"driver must be auto|scan|while, got {self.driver}")
+
+    def resolved_driver(self) -> str:
+        if self.driver != "auto":
+            return self.driver
+        # Reverse-mode AD cannot flow through lax.while_loop; scan for diff.
+        return "scan" if self.differentiable else "while"
+
+    def with_(self, **kw) -> "ICPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml_config(config_path: Optional[str] = None) -> dict:
+    """Load the reference YAML schema (dICP/ICP.py:21-27)."""
+    if config_path is None:
+        config_path = DEFAULT_CONFIG_PATH
+    with open(config_path, "r") as f:
+        return yaml.safe_load(f)
+
+
+def config_from_yaml(
+    config_path: Optional[str] = None,
+    icp_type: str = "pt2pl",
+    max_iterations: int = 100,
+    tolerance: float = 1e-12,
+    differentiable: bool = True,
+) -> ICPConfig:
+    """Build an :class:`ICPConfig` the way the reference constructor does
+    (dICP/ICP.py:15-44): YAML supplies the parameter/functionality/logging
+    blocks, constructor kwargs supply the rest."""
+    raw = load_yaml_config(config_path)["dICP"]
+    params = raw["parameters"]
+    func = raw["functionality"]
+    logging = raw["logging"]
+    return ICPConfig(
+        icp_type=icp_type,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        differentiable=differentiable,
+        tanh_steepness=params["tanh_steepness"],
+        target_pad_val=params["target_pad_val"],
+        source_zeroes_are_pad=params["source_zeroes_are_pad"],
+        const_iter=params["const_iter"],
+        use_gumbel=func["gumbel"],
+        gumbel_eps=func["gumbel_eps"],
+        gumbel_tau=func["gumbel_tau"],
+        verbose=logging["verbose"],
+        match_ratio_thresh=logging["matched_ratio_thresh"],
+    )

@@ -1,0 +1,434 @@
+"""Functional core: batched differentiable Gauss-Newton ICP on TPU.
+
+This is the TPU-native redesign of the reference's iteration loop
+(dICP/ICP.py:46-303).  Key architectural differences from the reference:
+
+* The whole solve is one jitted XLA program.  The reference's Python ``for``
+  loop with a data-dependent ``break`` (dICP/ICP.py:132, :259-260) becomes a
+  ``lax.scan`` whose body is wrapped in a ``lax.cond`` that skips compute once
+  every batch element has converged (differentiable, fixed trip count), or a
+  ``lax.while_loop`` with a true early exit (non-differentiable inference).
+* Static shapes everywhere: histories are fixed-length (max_iterations) and
+  the caller slices them to the executed length.  Skipped iterations emit
+  exactly the values the reference's weight/cost carry-forward rule
+  (dICP/ICP.py:224-234) would produce, so sliced histories match.
+* Per-element convergence freezing — zeroing the weight of converged batch
+  elements so batch results equal serial results (dICP/ICP.py:256-257) — is
+  reproduced with pure `where` masking inside the carry.
+* Rotation retraction uses closed-form Rodrigues (se3.exp_so3) instead of
+  ``torch.matrix_exp`` (dICP/ICP.py:210); the linear system is solved with
+  ``jnp.linalg.solve`` instead of forming an explicit inverse
+  (dICP/ICP.py:201).
+* Gradients: reverse-mode through the scan (optionally rematerialized), with
+  the same stop-gradient boundaries as the reference — histories and stats
+  are detached (dICP/ICP.py:220-237); only ``pc`` and ``T`` carry gradient.
+
+Shapes (functional core; ragged/unbatched input handling lives in
+:mod:`dicp_tpu.api`):
+  source  (N, n, 3)   target (N, m, 3|6)   T_init (N, 4, 4)
+  weight  (N, n) or None
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dicp_tpu import knn, losses, se3
+from dicp_tpu.config import ICPConfig
+
+
+class ICPResult(NamedTuple):
+    """Result pytree; fields mirror the reference's results dict
+    (dICP/ICP.py:288-303).  Histories have fixed length ``max_iterations``;
+    entries past the executed count repeat the last value (weights/costs) or
+    are zero (deltas) — use :func:`executed_iterations` to slice."""
+
+    pc: jnp.ndarray            # (N, n, 3) transformed source
+    T: jnp.ndarray             # (N, 4, 4)
+    costs: jnp.ndarray         # (N, T, 1)
+    deltas: jnp.ndarray        # (N, T, 6, 1)
+    weights: jnp.ndarray       # (N, T, P, 1); P = n (pt2pl) or 3n (pt2pt)
+    converged: jnp.ndarray     # (N,) bool
+    iterations: jnp.ndarray    # (N,) float (reference keeps float dtype, dICP/ICP.py:92)
+    matched_ratio: jnp.ndarray # (N,) float
+
+
+def _tikhonov(cfg: ICPConfig, dtype) -> float:
+    if cfg.tikhonov is not None:
+        return cfg.tikhonov
+    # The reference hardcodes 1e-12 (dICP/ICP.py:200); that is fine in f64
+    # but vanishes against f32 rounding of J^T W J, so damp more there.
+    return 1e-12 if dtype == jnp.float64 else 1e-6
+
+
+def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
+    """Input normalization done once before the loop (dICP/ICP.py:85-129)."""
+    n = source.shape[-2]
+    source = source[..., :3]
+    if cfg.icp_type == "pt2pl":
+        if target.shape[-1] != 6:
+            raise ValueError("pt2pl requires target normals: (N, m, 6)")  # dICP/ICP.py:101-103
+    else:
+        target = target[..., :3]
+
+    if cfg.dim == 2:
+        # Zero z so it cannot influence NN or residuals (dICP/ICP.py:107-116);
+        # pt2pl keeps the in-plane normal components, zeroes normal z.
+        zmask = jnp.array([1.0, 1.0, 0.0], dtype=source.dtype)
+        source = source * zmask
+        if target.shape[-1] == 6:
+            target = target * jnp.concatenate([zmask, zmask])
+        else:
+            target = target * zmask
+
+    if weight is None:
+        weight = jnp.ones(source.shape[:-1], dtype=source.dtype)
+    if cfg.source_zeroes_are_pad:
+        # all-zero source rows are padding -> weight 0 (dICP/ICP.py:445-446)
+        weight = weight * (jnp.linalg.norm(source, axis=-1) != 0.0).astype(source.dtype)
+    if cfg.icp_type == "pt2pt":
+        # one weight per error component (dICP/ICP.py:508-509)
+        weight = jnp.repeat(weight, 3, axis=-1)
+
+    C = T_init[..., :3, :3]
+    r = T_init[..., :3, 3]
+    del n
+    return source, target, weight, C, r
+
+
+def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
+    """One Gauss-Newton iteration (body of the hot loop, dICP/ICP.py:132-217).
+
+    Returns (C_new, r_new, delta6 (N,6), w (N,P), cost (N,)).
+    """
+    dtype = source.dtype
+    N, n = source.shape[0], source.shape[1]
+
+    # Transform into the current target-frame estimate.
+    cp = jnp.einsum("nij,npj->npi", C, source)          # C @ ps_s (rotated only)
+    ps_t = cp + r[:, None, :]                            # dICP/ICP.py:137
+
+    # Correspondences carry the full target rows (normals ride along).
+    if cfg.differentiable and cfg.use_gumbel:
+        nn6 = knn.gumbel_nn(ps_t, target, key, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps)
+    else:
+        if cfg.use_pallas_nn:
+            from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+
+            idx = nn_indices_pallas(ps_t, target[..., :3])
+            nn6 = knn.gather_rows(target, idx)
+        else:
+            nn6 = knn.find_nn(ps_t, target, differentiable=cfg.differentiable,
+                              use_pallas=cfg.use_pallas_nn)
+
+    nn_err = ps_t - nn6[..., :3]                         # (N, n, 3)
+
+    if cfg.icp_type == "pt2pl":
+        nn_norm = nn6[..., 3:6]
+        err = jnp.sum(nn_err * nn_norm, axis=-1)         # (N, n)  dICP/ICP.py:146
+        loss_err = err[..., None]                        # norm over last axis = |e|
+    else:
+        err = None
+        loss_err = nn_err                                # 3-component error per point
+
+    # Robust weights: trim gate always on the 3-D point error (dICP/ICP.py:155),
+    # loss weight on the residual (dICP/ICP.py:160); fused elementwise by XLA.
+    if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+        trim_w = losses.trim_weight(nn_err, cfg.trim_dist, cfg.differentiable, cfg.tanh_steepness)
+    else:
+        trim_w = jnp.ones((N, n), dtype=dtype)
+    if cfg.loss_name is not None:
+        loss_w = losses.robust_weight(cfg.loss_name, loss_err, cfg.loss_metric,
+                                      cfg.differentiable, cfg.tanh_steepness)
+    else:
+        loss_w = jnp.ones((N, n), dtype=dtype)
+
+    # Residual vector + Jacobian of err w.r.t. xi = [omega, rho] (dICP/ICP.py:171-183).
+    if cfg.icp_type == "pt2pl":
+        # d err / d omega = (skew(Cp)^T n) = n x (Cp); d err / d rho = -n
+        J_C = jnp.cross(nn_norm, cp)
+        J = jnp.concatenate([J_C, -nn_norm], axis=-1)    # (N, n, 6)
+        res = err                                        # (N, n)
+        w = w_init * trim_w * loss_w                     # (N, n)
+    else:
+        J_C = se3.skew(cp).reshape(N, 3 * n, 3)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, n, 3, 3)).reshape(N, 3 * n, 3)
+        J = jnp.concatenate([J_C, -eye], axis=-1)        # (N, 3n, 6)
+        res = nn_err.reshape(N, 3 * n)                   # component-interleaved (dICP/ICP.py:166)
+        w = w_init * jnp.repeat(trim_w, 3, axis=-1) * jnp.repeat(loss_w, 3, axis=-1)
+
+    if cfg.dim == 2:
+        # Optimize (omega_z, rho_x, rho_y) only (dICP/ICP.py:186-189).
+        J = J[..., 2:5]
+
+    k = J.shape[-1]
+    # Row-scale instead of forming a diagonal weight matrix; the +-1e-5 trick
+    # avoids sqrt(0) NaN gradients (dICP/ICP.py:193-196).
+    w_sqrt = jnp.sqrt(w + 1.0e-10) - 1.0e-5
+    res_w = w_sqrt * res                                 # (N, P)
+    J_w = w_sqrt[..., None] * J                          # (N, P, k)
+
+    A = jnp.einsum("npi,npj->nij", J_w, J_w) + _tikhonov(cfg, dtype) * jnp.eye(k, dtype=dtype)
+    b = jnp.einsum("npi,np->ni", J_w, res_w)
+    delta_k = -jnp.linalg.solve(A, b[..., None])[..., 0]  # (N, k)
+
+    if cfg.dim == 2:
+        # Embed (omega_z, rho_x, rho_y) into the 6-vector (dICP/ICP.py:204-207).
+        zeros = jnp.zeros((N, 1), dtype=dtype)
+        delta6 = jnp.concatenate([zeros, zeros, delta_k, zeros], axis=-1)
+    else:
+        delta6 = delta_k
+
+    # Retraction (dICP/ICP.py:210-217): C <- exp(omega^)^T C, r <- r - rho.
+    del_C = se3.exp_so3(delta6[:, :3])
+    C_new = jnp.swapaxes(del_C, -1, -2) @ C
+    r_new = r - delta6[:, 3:]
+
+    cost = jnp.sum(res_w * res_w, axis=-1)               # e_w^T e_w (dICP/ICP.py:229)
+    return C_new, r_new, delta6, w, cost
+
+
+class _Carry(NamedTuple):
+    C: jnp.ndarray
+    r: jnp.ndarray
+    w_init: jnp.ndarray        # freezing state (zeroed on convergence)
+    converged: jnp.ndarray     # (N,) bool
+    num_iters: jnp.ndarray     # (N,) float, 0 = sentinel "not yet converged"
+    match_ratio: jnp.ndarray   # (N,) float, 0 = sentinel
+    prev_w_save: jnp.ndarray   # carry-forward weight history value
+    prev_cost: jnp.ndarray     # carry-forward cost history value
+    w_raw: jnp.ndarray         # raw w of the last *executed* iteration
+
+
+def _apply_step(cfg: ICPConfig, source, target, carry: _Carry, it, key) -> tuple:
+    """Run one iteration + bookkeeping; returns (carry', (delta, w_save, cost))."""
+    dtype = source.dtype
+    C, r, delta6, w, cost = _gn_step(cfg, source, target, carry.w_init, carry.C, carry.r, key)
+
+    # Histories are detached in the reference (dICP/ICP.py:220-234).
+    delta_out = lax.stop_gradient(delta6)
+    w_save = lax.stop_gradient(w)
+    # All-zero weights carry the previous iteration's values forward.
+    all_zero = (jnp.sum(w_save, axis=-1) == 0.0)[:, None]
+    w_save = jnp.where(all_zero, carry.prev_w_save, w_save)
+    cost_out = lax.stop_gradient(cost)
+    cost_out = jnp.where(cost_out == 0.0, carry.prev_cost, cost_out)
+
+    delta_norm = jnp.linalg.norm(lax.stop_gradient(delta6), axis=-1)  # dICP/ICP.py:237
+    below = delta_norm < cfg.tolerance
+    converged = carry.converged | below
+
+    w_init = carry.w_init
+    num_iters = carry.num_iters
+    match_ratio = carry.match_ratio
+    if not cfg.const_iter:
+        # First-crossing stats + freeze (dICP/ICP.py:240-257).  The reference
+        # guards this block with `if any(below)`, but each update is a no-op
+        # where ~below, so unconditional masking is equivalent.
+        itf = (it + 1).astype(dtype)
+        num_iters = jnp.where(below, num_iters + itf * (num_iters == 0), num_iters)
+        num_curr = jnp.sum(w > cfg.match_ratio_thresh, axis=-1).astype(dtype)
+        num_start = jnp.sum(w_init > cfg.match_ratio_thresh, axis=-1).astype(dtype)
+        num_start = jnp.where(num_start == 0, jnp.ones_like(num_start), num_start)
+        ratio = num_curr / num_start
+        match_ratio = jnp.where(below, match_ratio + ratio * (match_ratio == 0), match_ratio)
+        # Freeze converged elements so batch == serial (dICP/ICP.py:256-257).
+        w_init = w_init * jnp.where(below, 0.0, 1.0).astype(dtype)[:, None]
+
+    new_carry = _Carry(C, r, w_init, converged, num_iters, match_ratio,
+                       w_save, cost_out, lax.stop_gradient(w))
+    return new_carry, (delta_out, w_save, cost_out)
+
+
+def _init_carry(cfg: ICPConfig, source, weight, C, r) -> _Carry:
+    dtype = source.dtype
+    N = source.shape[0]
+    P = weight.shape[-1]
+    zeros_np = jnp.zeros((N, P), dtype=dtype)
+    zeros_n = jnp.zeros((N,), dtype=dtype)
+    return _Carry(
+        C=C, r=r, w_init=weight,
+        converged=jnp.zeros((N,), dtype=bool),
+        num_iters=zeros_n, match_ratio=zeros_n,
+        prev_w_save=zeros_np, prev_cost=zeros_n, w_raw=zeros_np,
+    )
+
+
+def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
+    """Differentiable fixed-bound driver.
+
+    ``lax.scan`` over max_iterations; once every element has converged the
+    body switches (via ``lax.cond``) to a cheap identity branch that emits
+    exactly the carry-forward history values — matching the reference's early
+    ``break`` (dICP/ICP.py:259-260) after slicing, while keeping a fixed trip
+    count for reverse-mode AD.
+    """
+    carry0 = _init_carry(cfg, source, weight, C, r)
+
+    def skip(carry_it):
+        carry, it = carry_it
+        zeros6 = jnp.zeros(carry.C.shape[:1] + (6,), dtype=source.dtype)
+        return carry, (zeros6, carry.prev_w_save, carry.prev_cost)
+
+    def run(carry_it):
+        carry, it = carry_it
+        k = jax.random.fold_in(key, it) if key is not None else None
+        return _apply_step(cfg, source, target, carry, it, k)
+
+    step = run
+    if cfg.remat:
+        run = jax.checkpoint(run)
+        step = run
+
+    def body(carry, it):
+        if cfg.const_iter:
+            return step((carry, it))
+        return lax.cond(jnp.all(carry.converged), skip, step, (carry, it))
+
+    carry, (deltas, weights, costs) = lax.scan(body, carry0, jnp.arange(cfg.max_iterations))
+    return carry, deltas, weights, costs
+
+
+def _run_while(cfg: ICPConfig, source, target, weight, C, r, key):
+    """Early-exit driver for inference (non-differentiable).
+
+    True ``lax.while_loop``: stops as soon as all elements converge, exactly
+    like the reference's ``break``.  History buffers are fixed-size and
+    written in place at the iteration index.
+    """
+    T = cfg.max_iterations
+    N = source.shape[0]
+    P = weight.shape[-1]
+    dtype = source.dtype
+    carry0 = _init_carry(cfg, source, weight, C, r)
+    hist0 = (jnp.zeros((T, N, 6), dtype=dtype),
+             jnp.zeros((T, N, P), dtype=dtype),
+             jnp.zeros((T, N), dtype=dtype))
+
+    def cond(state):
+        carry, it, _ = state
+        not_done = jnp.logical_not(jnp.all(carry.converged)) if not cfg.const_iter else jnp.bool_(True)
+        return (it < T) & not_done
+
+    def body(state):
+        carry, it, hist = state
+        k = jax.random.fold_in(key, it) if key is not None else None
+        carry, (delta, w_save, cost) = _apply_step(cfg, source, target, carry, it, k)
+        hd, hw, hc = hist
+        hist = (hd.at[it].set(delta), hw.at[it].set(w_save), hc.at[it].set(cost))
+        return carry, it + 1, hist
+
+    carry, it_final, (deltas, weights, costs) = lax.while_loop(
+        cond, body, (carry0, jnp.int32(0), hist0))
+
+    # Unexecuted slots carry the last executed values forward so slicing and
+    # fixed-length consumers both see the reference's carry-forward semantics.
+    idx = jnp.arange(T)
+    executed = idx < it_final
+    last = jnp.maximum(it_final - 1, 0)
+    deltas = jnp.where(executed[:, None, None], deltas, 0.0)
+    weights = jnp.where(executed[:, None, None], weights, weights[last][None])
+    costs = jnp.where(executed[:, None], costs, costs[last][None])
+    return carry, deltas, weights, costs, it_final
+
+
+def _finalize(cfg: ICPConfig, source, carry: _Carry, deltas, weights, costs, it_final):
+    """Post-loop stats fill + result assembly (dICP/ICP.py:262-303)."""
+    dtype = source.dtype
+    itf = it_final.astype(dtype) if hasattr(it_final, "astype") else jnp.asarray(it_final, dtype)
+    num_iters = jnp.where(carry.num_iters == 0, itf, carry.num_iters)
+    num_curr = jnp.sum(carry.w_raw > cfg.match_ratio_thresh, axis=-1).astype(dtype)
+    num_start = jnp.sum(carry.w_init > cfg.match_ratio_thresh, axis=-1).astype(dtype)
+    num_start = jnp.where(num_start == 0, jnp.ones_like(num_start), num_start)
+    match_ratio = jnp.where(carry.match_ratio == 0, num_curr / num_start, carry.match_ratio)
+
+    pc = jnp.einsum("nij,npj->npi", carry.C, source) + carry.r[:, None, :]  # dICP/ICP.py:274
+    N = source.shape[0]
+    T_ts = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    T_ts = T_ts.at[:, :3, :3].set(carry.C).at[:, :3, 3].set(carry.r)
+
+    return ICPResult(
+        pc=pc,
+        T=T_ts,
+        costs=jnp.swapaxes(costs, 0, 1)[..., None],
+        deltas=jnp.swapaxes(deltas, 0, 1)[..., None],
+        weights=jnp.swapaxes(weights, 0, 1)[..., None],
+        converged=carry.converged,
+        iterations=lax.stop_gradient(num_iters),
+        matched_ratio=lax.stop_gradient(match_ratio),
+    )
+
+
+def register(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+    key: Optional[jax.Array] = None,
+) -> ICPResult:
+    """Batched ICP registration (functional, jit-safe; cfg must be static).
+
+    Equivalent of ICP.dICP (dICP/ICP.py:49-303) on pre-batched inputs.
+    """
+    if source.ndim != 3 or target.ndim != 3 or T_init.ndim != 3:
+        raise ValueError("register() expects batched (N, n, 3), (N, m, 3|6), (N, 4, 4); "
+                         "use dicp_tpu.api.ICP for ragged/unbatched inputs")
+    if cfg.differentiable and cfg.use_gumbel and key is None:
+        raise ValueError("Gumbel NN requires an explicit PRNG key")
+    if not (cfg.differentiable and cfg.use_gumbel):
+        key = None
+
+    # TPU MXU default precision is bf16 for f32 operands, which biases the
+    # distance matrices and the accumulated rotation chain by ~1e-2 — pin
+    # full-precision matmuls for everything traced inside the solver.
+    with jax.default_matmul_precision("float32"):
+        return _register_impl(source, target, T_init, weight, cfg, key)
+
+
+def _register_impl(source, target, T_init, weight, cfg, key):
+    source, target, weight, C, r = _preprocess(cfg, source, target, T_init, weight)
+
+    driver = cfg.resolved_driver()
+    if driver == "scan":
+        carry, deltas, weights, costs = _run_scan(cfg, source, target, weight, C, r, key)
+        if cfg.const_iter:
+            it_final = jnp.asarray(cfg.max_iterations, source.dtype)
+        else:
+            # Reference it_final: max converged iteration if all converged,
+            # else max_iterations (the break condition, dICP/ICP.py:259-267).
+            it_final = jnp.where(jnp.all(carry.converged),
+                                 jnp.max(carry.num_iters),
+                                 jnp.asarray(float(cfg.max_iterations), source.dtype))
+    else:
+        carry, deltas, weights, costs, it_final = _run_while(
+            cfg, source, target, weight, C, r, key)
+
+    return _finalize(cfg, source, carry, deltas, weights, costs, it_final)
+
+
+register_jit = jax.jit(register, static_argnames=("cfg",))
+
+
+def executed_iterations(result: ICPResult) -> int:
+    """Host-side count of executed iterations, for slicing fixed-length
+    histories to the reference's dynamic length (requires a device sync)."""
+    return int(jnp.max(result.iterations))
+
+
+def slice_histories(result: ICPResult) -> ICPResult:
+    """Trim histories to the executed length (host-side convenience).
+
+    No-op under tracing (dynamic lengths are impossible inside jit/grad —
+    fixed-length histories with carry-forward padding are returned instead).
+    """
+    if isinstance(result.iterations, jax.core.Tracer):
+        return result
+    k = executed_iterations(result)
+    return result._replace(costs=result.costs[:, :k], deltas=result.deltas[:, :k],
+                           weights=result.weights[:, :k])

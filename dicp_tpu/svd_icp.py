@@ -1,0 +1,139 @@
+"""Batched SVD (Kabsch) point-to-point ICP.
+
+The reference ships this only as an unbatched orphan with a per-point Python
+NN loop, not wired into ``icp()`` ("not yet integrated", dICP/ICP.py:533-591).
+Here it is a first-class batched solver: vectorized brute-force NN, weighted
+centroids/covariance, one fused ``jnp.linalg.svd`` over the (N, 3, 3)
+covariance stack per iteration, determinant-corrected rotation
+(C = U diag(1, 1, det U det V^T) V^T, dICP/ICP.py:566-570), running under
+``lax.scan`` (differentiable) or ``lax.while_loop`` (early exit).
+
+Convergence test matches the reference: sum of squared residuals to the
+current correspondences below tolerance (dICP/ICP.py:585).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dicp_tpu import knn
+
+
+class SVDICPResult(NamedTuple):
+    pc: jnp.ndarray          # (N, n, 3) aligned source
+    T: jnp.ndarray           # (N, 4, 4) transform source -> target
+    converged: jnp.ndarray   # (N,) bool
+    iterations: jnp.ndarray  # (N,) int32 (first iteration at which converged)
+
+
+def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray):
+    """Weighted Kabsch alignment of ps onto qs, both (N, n, 3), w (N, n).
+
+    Returns (C (N,3,3), r (N,3)) minimizing sum_i w_i |C p_i + r - q_i|^2.
+    """
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    wsafe = jnp.where(wsum == 0, jnp.ones_like(wsum), wsum)
+    wn = w / wsafe
+    mean_p = jnp.einsum("np,npi->ni", wn, ps)
+    mean_q = jnp.einsum("np,npi->ni", wn, qs)
+    pc = ps - mean_p[:, None, :]
+    qc = qs - mean_q[:, None, :]
+    # covariance W_st = sum w (q - q̄)(p - p̄)^T (dICP/ICP.py:558-563)
+    cov = jnp.einsum("np,npi,npj->nij", wn, qc, pc)
+    u, _, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    C = u @ (d[..., None] * vt)
+    r = mean_q - jnp.einsum("nij,nj->ni", C, mean_p)
+    return C, r
+
+
+def pt2pt_svd_icp(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: Optional[jnp.ndarray] = None,
+    weight: Optional[jnp.ndarray] = None,
+    max_iterations: int = 100,
+    tolerance: float = 1e-12,
+    trim_dist: Optional[float] = None,
+    differentiable: bool = True,
+) -> SVDICPResult:
+    """Batched closed-form pt2pt ICP.
+
+    source (N|_, n, 3), target (N|_, m, >=3), T_init (N|_, 4, 4) or None.
+    Unbatched inputs get a leading batch axis added.  ``trim_dist`` applies a
+    hard residual gate re-evaluated each iteration (the reference's SVD
+    variant accepts but ignores it, dICP/ICP.py:534).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _svd_icp_impl(source, target, T_init, weight, max_iterations,
+                             tolerance, trim_dist, differentiable)
+
+
+def _svd_icp_impl(source, target, T_init, weight, max_iterations, tolerance,
+                  trim_dist, differentiable):
+    squeeze = source.ndim == 2
+    if squeeze:
+        source = source[None]
+        target = target[None]
+        if T_init is not None and T_init.ndim == 2:
+            T_init = T_init[None]
+        if weight is not None and weight.ndim == 1:
+            weight = weight[None]
+    N, n = source.shape[0], source.shape[1]
+    dtype = source.dtype
+    source = source[..., :3]
+    target = target[..., :3]
+    if T_init is None:
+        T_init = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    if weight is None:
+        weight = jnp.ones((N, n), dtype=dtype)
+
+    C0 = T_init[:, :3, :3]
+    r0 = T_init[:, :3, 3]
+
+    def step(carry):
+        C, r, converged, iters, it = carry
+        ps_t = jnp.einsum("nij,npj->npi", C, source) + r[:, None, :]
+        nn_t = knn.hard_nn(ps_t, target)
+        w = weight
+        if trim_dist is not None:
+            resid = jnp.linalg.norm(ps_t - nn_t, axis=-1)
+            w = w * (resid < trim_dist).astype(dtype)
+        dC, dr = _kabsch(ps_t, nn_t, w)
+        C_new = dC @ C
+        r_new = jnp.einsum("nij,nj->ni", dC, r) + dr
+        ps_new = jnp.einsum("nij,npj->npi", C_new, source) + r_new[:, None, :]
+        sq = jnp.sum(w * jnp.sum((ps_new - nn_t) ** 2, axis=-1), axis=-1)
+        below = sq < tolerance
+        iters = jnp.where(below & ~converged, it + 1, iters)
+        # freeze already-converged elements (batch == serial, same idea as
+        # the GN solver's weight zeroing at dICP/ICP.py:256-257)
+        C = jnp.where(converged[:, None, None], C, C_new)
+        r = jnp.where(converged[:, None], r, r_new)
+        converged = converged | below
+        return C, r, converged, iters, it + 1
+
+    init = (C0, r0, jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32), jnp.int32(0))
+
+    if differentiable:
+        def body(carry, _):
+            return step(carry), None
+        (C, r, converged, iters, _), _ = lax.scan(body, init, None, length=max_iterations)
+    else:
+        def cond(carry):
+            _, _, converged, _, it = carry
+            return (it < max_iterations) & jnp.logical_not(jnp.all(converged))
+        C, r, converged, iters, _ = lax.while_loop(cond, step, init)
+
+    iters = jnp.where(converged, iters, jnp.int32(max_iterations))
+    pc = jnp.einsum("nij,npj->npi", C, source) + r[:, None, :]
+    T = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    T = T.at[:, :3, :3].set(C).at[:, :3, 3].set(r)
+    if squeeze:
+        return SVDICPResult(pc[0], T[0], converged[0], iters[0])
+    return SVDICPResult(pc, T, converged, iters)

@@ -1,0 +1,38 @@
+"""Test harness configuration.
+
+Tests run on CPU with float64 enabled (the reference test data and tolerance
+contract are float64, tests/test_ICP.py:66 asserts 1e-10) and an 8-device
+virtual mesh so multi-chip sharding paths execute without TPU hardware.
+Environment must be set before JAX initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. 'axon' with
+# remote compilation); the config update below overrides it reliably.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+@pytest.fixture
+def source_np():
+    """65-point planar scan, float64, zero normal columns (tests/data)."""
+    return np.load(os.path.join(DATA_DIR, "points_scan.npy"))
+
+
+@pytest.fixture
+def target_np():
+    """65-point map with unit normals in columns 3:6 (tests/data)."""
+    return np.load(os.path.join(DATA_DIR, "points_map.npy"))

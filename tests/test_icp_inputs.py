@@ -1,0 +1,171 @@
+"""Input-handling parity tests: port of the reference suite
+(tests/test_ICP_inputs.py).  The batch == serial invariant is the core
+numerical contract (tests/test_ICP_inputs.py:96-110)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dicp_tpu import se3
+from dicp_tpu.api import ICP
+
+MAX_ITER = 25
+TOL = 1e-8
+
+
+def _err_norm(T_a, T_b):
+    e = se3.tran2vec(jnp.asarray(T_a) @ jnp.linalg.inv(jnp.asarray(T_b)))
+    return float(jnp.linalg.norm(np.asarray(e)))
+
+
+def test_input_types(source_np, target_np):
+    """Ragged list-of-arrays batch must equal per-cloud serial results,
+    including matched-ratio stats (tests/test_ICP_inputs.py:36-110)."""
+    rng = np.random.default_rng(42)  # reference uses unseeded np.random (l.52)
+    source_1 = np.vstack([source_np[:50, :3], rng.random((1, 3)) * 1000])  # outlier
+    target_1 = target_np[:55]
+    source_2 = source_np[:, :3]
+    target_2 = target_np
+    source_3 = source_np[:55, :3]
+    target_3 = target_np[:60]
+
+    sources = [jnp.asarray(s) for s in (source_1, source_2, source_3)]
+    targets = [jnp.asarray(t) for t in (target_1, target_2, target_3)]
+    T_init = jnp.eye(4, dtype=jnp.float64)
+    loss_fn = {"name": "huber", "metric": 1.0}
+
+    solver = ICP(icp_type="pt2pl", differentiable=True,
+                 max_iterations=MAX_ITER, tolerance=TOL)
+
+    T_serial, ratio_serial = [], []
+    for s, t in zip(sources, targets):
+        res = solver.icp(s, t, T_init, trim_dist=5.0, loss_fn=loss_fn, dim=2)
+        T_serial.append(np.asarray(res["T"][0]))
+        ratio_serial.append(float(res["stats"]["matched_ratio"][0]))
+
+    res_b = solver.icp(sources, targets, jnp.stack([T_init] * 3),
+                       trim_dist=5.0, loss_fn=loss_fn, dim=2)
+    T_batch = np.asarray(res_b["T"])
+    ratio_batch = np.asarray(res_b["stats"]["matched_ratio"])
+
+    err = se3.tran2vec(jnp.asarray(np.stack(T_serial)) @ jnp.linalg.inv(jnp.asarray(T_batch)))
+    assert float(jnp.linalg.norm(err)) < TOL
+    assert np.linalg.norm(np.asarray(ratio_serial) - ratio_batch) < TOL
+
+
+def test_zero_inputs(source_np, target_np):
+    """Empty source/target/both return T_init (tests/test_ICP_inputs.py:113-155)."""
+    source_1 = jnp.asarray(source_np)
+    target_2 = jnp.asarray(target_np)
+    sources = [source_1, [], []]
+    targets = [[], target_2, []]
+
+    T_init = jnp.eye(4, dtype=jnp.float64)
+    T_stack = jnp.stack([T_init] * 3)
+    solver = ICP(icp_type="pt2pl", differentiable=True,
+                 max_iterations=MAX_ITER, tolerance=TOL)
+
+    for s, t in zip(sources, targets):
+        res = solver.icp(s, t, T_init, trim_dist=5.0, loss_fn=None, dim=2)
+        assert np.linalg.norm(np.asarray(res["T"][0]) - np.eye(4)) < TOL
+
+    res_b = solver.icp(sources, targets, T_stack, trim_dist=5.0, loss_fn=None, dim=2)
+    assert np.linalg.norm(np.asarray(res_b["T"]) - np.asarray(T_stack)) < TOL
+
+
+def test_weight_inputs(source_np, target_np):
+    """weight=None == ones; zero-weighted junk points change nothing; list
+    weights batch == serial (tests/test_ICP_inputs.py:157-211)."""
+    rng = np.random.default_rng(7)
+    source_1 = source_np[:, :3]
+    weight_1 = None
+    source_2 = source_np[:, :3]
+    weight_2 = jnp.ones(source_2.shape[0], dtype=jnp.float64)
+    source_3 = np.vstack([source_np[:, :3], rng.random((10, 3))])
+    weight_3 = jnp.asarray(np.hstack([np.ones(source_np.shape[0]), np.zeros(10)]))
+
+    sources = [jnp.asarray(source_1), jnp.asarray(source_2), jnp.asarray(source_3)]
+    targets = [jnp.asarray(target_np)] * 3
+    weights = [weight_1, weight_2, weight_3]
+
+    T_init = jnp.eye(4, dtype=jnp.float64)
+    loss_fn = {"name": "huber", "metric": 1.0}
+    solver = ICP(icp_type="pt2pl", differentiable=True,
+                 max_iterations=MAX_ITER, tolerance=TOL)
+
+    T_serial = []
+    for s, t, w in zip(sources, targets, weights):
+        res = solver.icp(s, t, T_init, weight=w, trim_dist=5.0, loss_fn=loss_fn, dim=2)
+        T_serial.append(np.asarray(res["T"][0]))
+
+    res_b = solver.icp(sources, targets, jnp.stack([T_init] * 3), weight=weights,
+                       trim_dist=5.0, loss_fn=loss_fn, dim=2)
+    assert np.linalg.norm(np.asarray(res_b["T"]) - np.stack(T_serial)) < TOL
+    # All three solutions identical: junk points have zero weight.
+    assert np.linalg.norm(T_serial[0] - T_serial[1]) < TOL
+    assert np.linalg.norm(T_serial[0] - T_serial[2]) < TOL
+
+
+def test_diff_vs_nondiff_types(source_np, target_np):
+    """diff and non-diff converge to the same T on an easy, well-initialized
+    problem (tests/test_ICP_inputs.py:213-252)."""
+    source = jnp.asarray(source_np[:50, :3])
+    target = jnp.asarray(target_np[:55])
+    T_init = jnp.eye(4, dtype=jnp.float64)
+
+    for loss_fn in ({"name": "huber", "metric": 1.0}, {"name": "cauchy", "metric": 0.5}):
+        s_diff = ICP(icp_type="pt2pl", differentiable=True,
+                     max_iterations=MAX_ITER, tolerance=TOL)
+        s_nond = ICP(icp_type="pt2pl", differentiable=False,
+                     max_iterations=MAX_ITER, tolerance=TOL)
+        T_diff = s_diff.icp(source, target, T_init, trim_dist=5.0, loss_fn=loss_fn, dim=2)["T"][0]
+        T_nond = s_nond.icp(source, target, T_init, trim_dist=5.0, loss_fn=loss_fn, dim=2)["T"][0]
+        assert _err_norm(np.asarray(T_diff), np.asarray(T_nond)) < TOL
+
+
+def test_padded_inputs(source_np, target_np):
+    """source_zeroes_are_pad: zero-padded source == unpadded
+    (tests/test_ICP_inputs.py:254-271; attribute poke at :263)."""
+    source = jnp.asarray(source_np[:50, :3])
+    target = jnp.asarray(target_np[:55])
+    T_init = jnp.eye(4, dtype=jnp.float64)
+    source_pad = jnp.concatenate([source, jnp.zeros((20, 3), dtype=source.dtype)])
+
+    solver = ICP(icp_type="pt2pt", differentiable=False,
+                 max_iterations=MAX_ITER, tolerance=TOL)
+    solver.source_zeroes_are_pad = True
+
+    T_a = solver.icp(source, target, T_init, dim=2)["T"][0]
+    T_b = solver.icp(source_pad, target, T_init, dim=2)["T"][0]
+    assert _err_norm(np.asarray(T_a), np.asarray(T_b)) < TOL
+
+
+def test_const_iter(source_np, target_np):
+    """const_iter forces exactly max_iterations (config key, dICP/ICP.py:240)."""
+    source = jnp.asarray(source_np[:, :3])
+    target = jnp.asarray(target_np)
+    solver = ICP(icp_type="pt2pl", differentiable=True,
+                 max_iterations=12, tolerance=TOL)
+    solver.const_iter = True
+    res = solver.icp(source, target, jnp.eye(4, dtype=source.dtype),
+                     trim_dist=5.0, loss_fn={"name": "huber", "metric": 1.0}, dim=2)
+    assert res["deltas"].shape[1] == 12
+    assert float(res["stats"]["iterations"][0]) == 12.0
+
+
+def test_3d_dim(source_np, target_np):
+    """dim=3 path solves the full 6-dof problem (the data is planar, so the
+    recovered transform should still match in-plane and be finite)."""
+    source = jnp.asarray(source_np[:, :3])
+    target = jnp.asarray(target_np)
+    solver = ICP(icp_type="pt2pl", differentiable=True,
+                 max_iterations=50, tolerance=1e-10)
+    res = solver.icp(source, target, jnp.eye(4, dtype=source.dtype),
+                     trim_dist=5.0, loss_fn={"name": "huber", "metric": 1.0}, dim=3)
+    T = np.asarray(res["T"][0])
+    assert np.all(np.isfinite(T))
+    # planar data: z-translation should remain ~0 and in-plane parts recover truth
+    xi = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 0.1], dtype=jnp.float64)
+    T_true = np.asarray(se3.tran_inv(se3.vec2tran(xi)))
+    np.testing.assert_allclose(T[:2, 3], T_true[:2, 3], atol=1e-3)
