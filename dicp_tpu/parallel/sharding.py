@@ -1,0 +1,240 @@
+"""Multi-chip scaling: jax.sharding mesh utilities for batched and
+large-cloud registration.
+
+The reference is strictly single-device (SURVEY.md §2.3: no distributed
+anything); these are the new first-class TPU components that scale its two
+parallelism concepts across a pod slice:
+
+* **batch parallelism** (the reference's leading batch dim, dICP/ICP.py:85)
+  -> scan pairs sharded over the ``batch`` mesh axis.  The solver is purely
+  batch-elementwise, so XLA partitions it with ZERO collectives — linear
+  scaling by construction.
+* **point-level parallelism** (dense (N, n, m) distance work inside single
+  ATen ops) -> the source cloud of one huge registration sharded over the
+  ``map`` mesh axis under ``shard_map``.  Each device finds correspondences
+  for its point shard against the replicated target and accumulates its
+  partial normal equations; the ONLY cross-device traffic per Gauss-Newton
+  step is the psum of the (6, 6) J^T W J block and (6,) J^T W e vector —
+  42 floats per step, riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dicp_tpu import knn, losses, se3
+from dicp_tpu.config import ICPConfig
+from dicp_tpu.registration import ICPResult, register
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              axis_names: Tuple[str, str] = ("batch", "map"),
+              devices=None) -> Mesh:
+    """Build a 2-D device mesh.  Default: all devices on the batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = "batch"):
+    """Place arrays with their leading (batch) dim sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def register_batch_sharded(
+    mesh: Mesh,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+    key=None,
+) -> ICPResult:
+    """Batch-data-parallel registration: N scan pairs sharded over 'batch'.
+
+    Inputs are placed with batch-dim sharding and the ordinary jitted solver
+    runs SPMD; XLA keeps every array batch-sharded end-to-end (no
+    collectives).  N must be divisible by the batch axis size.
+    """
+    n_batch = mesh.shape["batch"]
+    if source.shape[0] % n_batch != 0:
+        raise ValueError(f"batch {source.shape[0]} not divisible by mesh axis {n_batch}")
+    sharding = NamedSharding(mesh, P("batch"))
+    source, target, T_init = (jax.device_put(x, sharding) for x in (source, target, T_init))
+    if weight is not None:
+        weight = jax.device_put(weight, sharding)
+    # every ICPResult leaf has a leading batch dim -> one sharding fits all
+    fn = jax.jit(register, static_argnames=("cfg",), out_shardings=sharding)
+    return fn(source, target, T_init, weight, cfg, key)
+
+
+class MapShardedResult(NamedTuple):
+    """Result of a map-sharded single-cloud registration."""
+    T: jnp.ndarray           # (4, 4)
+    converged: jnp.ndarray   # () bool
+    iterations: jnp.ndarray  # () int32
+    cost: jnp.ndarray        # () final weighted squared cost
+
+
+def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init):
+    """Per-device body under shard_map: source points sharded over 'map'.
+
+    Runs the full Gauss-Newton iteration with the only cross-device traffic
+    being psum of the normal-equation blocks (and cheap scalar psums for the
+    cost/convergence bookkeeping).
+    """
+    dtype = source_shard.dtype
+    C0 = T_init[:3, :3]
+    r0 = T_init[:3, 3]
+    lam = cfg.tikhonov if cfg.tikhonov is not None else (
+        1e-12 if dtype == jnp.float64 else 1e-6)
+
+    tgt_pts = target[:, :3]
+    use_pallas = bool(cfg.use_pallas_nn)
+
+    def gn_iteration(C, r):
+        ps_t = source_shard @ C.T + r
+        if use_pallas:
+            from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+            idx = nn_indices_pallas(ps_t, tgt_pts)
+        else:
+            idx = knn.nn_indices(ps_t, tgt_pts)
+        nn6 = jnp.take(target, idx, axis=0)
+        nn_err = ps_t - nn6[:, :3]
+
+        w = weight_shard
+        if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+            w = w * losses.trim_weight(nn_err, cfg.trim_dist,
+                                       cfg.differentiable, cfg.tanh_steepness)
+        cp = source_shard @ C.T
+        if cfg.icp_type == "pt2pl":
+            nrm = nn6[:, 3:6]
+            res = jnp.sum(nn_err * nrm, axis=-1)          # (n_local,)
+            if cfg.loss_name is not None:
+                w = w * losses.robust_weight(cfg.loss_name, res[:, None],
+                                             cfg.loss_metric, cfg.differentiable,
+                                             cfg.tanh_steepness)
+            J = jnp.concatenate([jnp.cross(nrm, cp), -nrm], axis=-1)  # (n_local, 6)
+        else:
+            if cfg.loss_name is not None:
+                w = w * losses.robust_weight(cfg.loss_name, nn_err,
+                                             cfg.loss_metric, cfg.differentiable,
+                                             cfg.tanh_steepness)
+            n_local = source_shard.shape[0]
+            J = jnp.concatenate(
+                [se3.skew(cp).reshape(3 * n_local, 3),
+                 -jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n_local, 3, 3)).reshape(3 * n_local, 3)],
+                axis=-1)
+            res = nn_err.reshape(3 * n_local)
+            w = jnp.repeat(w, 3, axis=-1)
+
+        if cfg.dim == 2:
+            J = J[:, 2:5]
+        k = J.shape[-1]
+        # Partial normal equations on this shard; the psum of these blocks is
+        # the ONLY per-iteration cross-device traffic (<= 6x6 + 6 floats).
+        Jw = w[:, None] * J
+        A_local = J.T @ Jw                       # (k, k)
+        b_local = J.T @ (w * res)                # (k,)
+        cost_local = jnp.sum(w * res * res)
+        A = lax.psum(A_local, "map") + lam * jnp.eye(k, dtype=dtype)
+        b = lax.psum(b_local, "map")
+        cost = lax.psum(cost_local, "map")
+        delta_k = -jnp.linalg.solve(A, b[:, None])[:, 0]
+
+        if cfg.dim == 2:
+            z = jnp.zeros((1,), dtype=dtype)
+            delta6 = jnp.concatenate([z, z, delta_k, z])
+        else:
+            delta6 = delta_k
+        del_C = se3.exp_so3(delta6[:3])
+        C_new = del_C.T @ C
+        r_new = r - delta6[3:]
+        return C_new, r_new, jnp.linalg.norm(delta6), cost
+
+    def cond(state):
+        C, r, it, done, cost = state
+        return (it < cfg.max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        C, r, it, done, _ = state
+        C, r, step_norm, cost = gn_iteration(C, r)
+        done = step_norm < cfg.tolerance
+        return C, r, it + 1, done, cost
+
+    if cfg.differentiable:
+        def scan_body(state, _):
+            C, r, it, done, cost = state
+
+            def run(s):
+                C_, r_, it_, _, _ = s
+                C2, r2, sn, c2 = gn_iteration(C_, r_)
+                return C2, r2, it_ + 1, sn < cfg.tolerance, c2
+
+            state = lax.cond(done, lambda s: s, run, state)
+            return state, None
+
+        init = (C0, r0, jnp.int32(0), jnp.bool_(False), jnp.zeros((), dtype))
+        (C, r, it, done, cost), _ = lax.scan(scan_body, init, None,
+                                             length=cfg.max_iterations)
+    else:
+        init = (C0, r0, jnp.int32(0), jnp.bool_(False), jnp.zeros((), dtype))
+        C, r, it, done, cost = lax.while_loop(cond, body, init)
+
+    T = jnp.eye(4, dtype=dtype).at[:3, :3].set(C).at[:3, 3].set(r)
+    return T, done, it, cost
+
+
+def register_map_sharded(
+    mesh: Mesh,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: Optional[jnp.ndarray] = None,
+    weight: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+    axis: str = "map",
+) -> MapShardedResult:
+    """Register ONE large scan against a target map with the scan's points
+    sharded across the ``map`` mesh axis.
+
+    source (n, 3) with n divisible by the axis size (pad with zero-weight
+    points otherwise), target (m, 3|6) replicated, T_init (4, 4).
+    Per GN step the devices exchange only the psum-reduced 6x6/6 normal
+    equations — the scaling design called for by SURVEY.md §2.3.
+    """
+    n = source.shape[0]
+    n_dev = mesh.shape[axis]
+    dtype = source.dtype
+    if T_init is None:
+        T_init = jnp.eye(4, dtype=dtype)
+    if weight is None:
+        weight = jnp.ones((n,), dtype=dtype)
+    pad = (-n) % n_dev
+    if pad:
+        source = jnp.concatenate([source, jnp.zeros((pad, 3), dtype=dtype)])
+        weight = jnp.concatenate([weight, jnp.zeros((pad,), dtype=dtype)])
+
+    body = functools.partial(_map_sharded_body, cfg)
+    fn = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+        ),
+        static_argnums=(),
+    )
+    T, done, it, cost = fn(source[:, :3], weight, target, T_init)
+    return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)

@@ -1,0 +1,129 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(conftest sets xla_force_host_platform_device_count=8).
+
+These are the new TPU-first components with no reference counterpart
+(SURVEY.md §2.3): batch sharding must be bit-equivalent to single-device,
+and the map-sharded psum Gauss-Newton must match the dense solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dicp_tpu import se3
+from dicp_tpu.config import ICPConfig
+from dicp_tpu.parallel import (
+    make_mesh,
+    register_batch_sharded,
+    register_map_sharded,
+)
+from dicp_tpu.registration import register_jit
+
+
+CFG = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=25,
+                tolerance=1e-8, dim=2, trim_dist=5.0,
+                loss_name="huber", loss_metric=1.0)
+
+
+def _t_true():
+    xi = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 0.1], dtype=jnp.float64)
+    return np.asarray(se3.tran_inv(se3.vec2tran(xi)))
+
+
+def _err(T_a, T_b):
+    return float(jnp.linalg.norm(se3.tran2vec(
+        jnp.asarray(T_a) @ jnp.linalg.inv(jnp.asarray(T_b)))))
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_batch_sharded_equals_single_device(source_np, target_np):
+    mesh = make_mesh((8, 1))
+    src = jnp.asarray(np.stack([source_np[:, :3]] * 8))
+    tgt = jnp.asarray(np.stack([target_np] * 8))
+    ti = jnp.asarray(np.stack([np.eye(4)] * 8))
+
+    res_sharded = register_batch_sharded(mesh, src, tgt, ti, cfg=CFG)
+    res_single = register_jit(src, tgt, ti, None, cfg=CFG)
+    np.testing.assert_allclose(np.asarray(res_sharded.T), np.asarray(res_single.T),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_sharded.matched_ratio),
+                               np.asarray(res_single.matched_ratio), atol=1e-12)
+
+
+def test_batch_sharded_heterogeneous(source_np, target_np):
+    """Different per-element inputs stay independent across shards."""
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(0)
+    srcs, tis = [], []
+    for i in range(8):
+        xi = np.zeros(6)
+        xi[5] = 0.02 * i  # different z-rotations
+        T = np.asarray(se3.vec2tran(jnp.asarray(xi)))
+        pts = target_np[:, :3] @ T[:3, :3].T + T[:3, 3]
+        srcs.append(pts)
+        tis.append(np.eye(4))
+    src = jnp.asarray(np.stack(srcs))
+    tgt = jnp.asarray(np.stack([target_np] * 8))
+    res = register_batch_sharded(mesh, src, tgt, jnp.asarray(np.stack(tis)), cfg=CFG)
+    # each element should converge to its own inverse transform
+    for i in range(8):
+        xi = np.zeros(6)
+        xi[5] = 0.02 * i
+        T_true = np.asarray(se3.tran_inv(se3.vec2tran(jnp.asarray(xi))))
+        assert _err(T_true, np.asarray(res.T[i])) < 1e-6, i
+
+
+def test_map_sharded_matches_dense(source_np, target_np):
+    """Psum-reduced normal equations == dense single-device solve."""
+    mesh = make_mesh((1, 8))
+    res = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                               jnp.asarray(target_np), cfg=CFG)
+    dense = register_jit(jnp.asarray(source_np[None, :, :3]),
+                         jnp.asarray(target_np[None]),
+                         jnp.eye(4, dtype=jnp.float64)[None], None, cfg=CFG)
+    assert _err(np.asarray(dense.T[0]), np.asarray(res.T)) < 1e-10
+    assert bool(res.converged)
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-7
+
+
+def test_map_sharded_nondiff_early_exit(source_np, target_np):
+    mesh = make_mesh((1, 8))
+    cfg = CFG.with_(differentiable=False)
+    res = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                               jnp.asarray(target_np), cfg=cfg)
+    assert bool(res.converged)
+    assert int(res.iterations) < 25
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-7
+
+
+def test_map_sharded_gradient(source_np, target_np):
+    """Gradients flow through the psum-reduced solve (training path)."""
+    mesh = make_mesh((1, 8))
+    tgt = jnp.asarray(target_np)
+    cfg = CFG.with_(max_iterations=10)
+
+    def f(src):
+        return jnp.sum(register_map_sharded(mesh, src, tgt, cfg=cfg).T)
+
+    g = jax.grad(f)(jnp.asarray(source_np[:, :3]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)
+
+
+def test_map_sharded_pt2pt(source_np, target_np):
+    mesh = make_mesh((1, 8))
+    cfg = CFG.with_(icp_type="pt2pt", max_iterations=40)
+    res = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                               jnp.asarray(target_np[:, :3]), cfg=cfg)
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-6
+
+
+def test_mesh_2d_both_axes(source_np, target_np):
+    """4x2 mesh: batch work on one axis, map sharding on the other."""
+    mesh = make_mesh((4, 2))
+    res = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                               jnp.asarray(target_np), cfg=CFG)
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-7
