@@ -1,0 +1,230 @@
+"""Extended benchmark suite: the five BASELINE.json configurations.
+
+Each benchmark prints one JSON line {name, value, unit, detail}.  Run on the
+default backend (TPU under axon; CPU with JAX_PLATFORMS=cpu).  The driver's
+headline number stays in the repo-root bench.py (config #3).
+
+Usage: python benchmarks/bench_suite.py [name ...]
+Names: svd_pair, pt2pl_pair, batch256, large_cloud, odometry
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _pair(dtype=np.float32):
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests", "data")
+    return (np.load(os.path.join(base, "points_scan.npy")).astype(dtype),
+            np.load(os.path.join(base, "points_map.npy")).astype(dtype))
+
+
+def _time(fn, n=10):
+    fn()  # compile
+    t0 = time.time()
+    for _ in range(n):
+        out = fn()
+    _block(out)
+    return (time.time() - t0) / n
+
+
+def _block(out):
+    import jax
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+
+
+def _emit(name, value, unit, **detail):
+    print(json.dumps({"name": name, "value": round(float(value), 3),
+                      "unit": unit, **detail}))
+
+
+def bench_svd_pair():
+    """Config #1: point-to-point SVD ICP on the tests/data pair."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.svd_icp import pt2pt_svd_icp
+
+    scan, mp = _pair()
+    src = jnp.asarray(scan[:, :3])
+    tgt = jnp.asarray(mp[:, :3])
+
+    def run():
+        return pt2pt_svd_icp(src, tgt, max_iterations=60, tolerance=1e-9,
+                             differentiable=False)
+
+    dt = _time(run)
+    res = run()
+    _block(res)
+    T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
+    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T))))
+    _emit("svd_pair", dt * 1e3, "ms/pair", transform_err=err,
+          iterations=int(res.iterations))
+
+
+def bench_pt2pl_pair():
+    """Config #2: point-to-plane IRLS ICP with Huber trust-region loss."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    scan, mp = _pair()
+    src = jnp.asarray(scan[None, :, :3])
+    tgt = jnp.asarray(mp[None])
+    ti = jnp.eye(4, dtype=jnp.float32)[None]
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    def run():
+        return register_jit(src, tgt, ti, None, cfg=cfg)
+
+    dt = _time(run)
+    res = run()
+    _block(res)
+    T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
+    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T[0]))))
+    _emit("pt2pl_pair", dt * 1e3, "ms/pair", transform_err=err,
+          iterations=float(res.iterations[0]))
+
+
+def bench_batch256():
+    """Config #3: B=256 batched diff ICP, fwd+bwd (the headline; see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register
+
+    scan, mp = _pair()
+    B = 256
+    src = jnp.asarray(np.stack([scan[:, :3]] * B))
+    tgt = jnp.asarray(np.stack([mp] * B))
+    ti = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+    step = jax.jit(jax.value_and_grad(lambda s: jnp.sum(register(s, tgt, ti, None, cfg).T)))
+
+    dt = _time(lambda: step(src))
+    _emit("batch256_fwdbwd", B / dt, "registrations/s",
+          vs_cpu_baseline=round(B / dt / 1293.0, 2))
+
+    # IFT gradient path on the same workload
+    from dicp_tpu.ift import register_ift
+    step_ift = jax.jit(jax.value_and_grad(
+        lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg.with_(tolerance=1e-6)).T)))
+    dt_ift = _time(lambda: step_ift(src))
+    _emit("batch256_fwdbwd_ift", B / dt_ift, "registrations/s",
+          vs_cpu_baseline=round(B / dt_ift / 1293.0, 2))
+
+
+def bench_large_cloud():
+    """Config #4: 100k-point registration with Pallas kNN + voxel downsample."""
+    import jax
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+    from dicp_tpu.ops.voxel import voxel_downsample
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    # synthetic 3-D scene: three noisy planes
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts, nrm = [], []
+    for k in range(3):
+        uv = rng.uniform(-20, 20, size=(n // 3 + 1, 2)).astype(np.float32)
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (2.0 + k))
+        nrm.append(np.tile(normals[k], (n // 3 + 1, 1)))
+    target = jnp.asarray(np.hstack([np.vstack(pts)[:n], np.vstack(nrm)[:n]]).astype(np.float32))
+    xi = jnp.asarray(np.array([0.2, -0.1, 0.05, 0.01, -0.02, 0.03], np.float32))
+    T_st = se3.vec2tran(xi)
+    source = target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3]
+
+    # kNN kernel timing
+    dt_knn = _time(lambda: nn_indices_pallas(source, target[:, :3]))
+    _emit("pallas_knn_100k", dt_knn * 1e3, "ms", pairs=n * n)
+
+    # voxel + registration end to end
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
+                    tolerance=1e-5, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=1.0, use_pallas_nn=True)
+
+    def run():
+        v = voxel_downsample(source, 0.5)
+        return register_jit(v.points[None], target[None],
+                            jnp.eye(4, dtype=jnp.float32)[None],
+                            v.weight[None], cfg=cfg)
+
+    dt = _time(run, n=3)
+    res = run()
+    _block(res)
+    T_true = se3.tran_inv(T_st)
+    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T[0]))))
+    _emit("large_cloud_100k", dt * 1e3, "ms/registration", transform_err=err,
+          iterations=float(res.iterations[0]))
+
+
+def bench_odometry():
+    """Config #5: chained odometry over a synthetic sequence + ATE."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.odometry import ate, odometry
+
+    scan, mp = _pair(np.float32)
+    S = 64
+    step_xi = np.array([0.05, 0.08, 0, 0, 0, 0.02], np.float32)
+    step = np.asarray(se3.vec2tran(jnp.asarray(step_xi)))
+    T = np.eye(4, dtype=np.float32)
+    scans, poses = [], []
+    for _ in range(S):
+        Ti = np.linalg.inv(T)
+        scans.append(np.hstack([mp[:, :3] @ Ti[:3, :3].T + Ti[:3, 3],
+                                mp[:, 3:6] @ Ti[:3, :3].T]).astype(np.float32))
+        poses.append(T.copy())
+        T = T @ step
+    scans_j = jnp.asarray(np.stack(scans))
+    poses_true = jnp.asarray(np.stack(poses))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    def run():
+        return odometry(scans_j, cfg)
+
+    dt = _time(run, n=5)
+    res = run()
+    _block(res)
+    err = float(ate(res.poses, poses_true, align=False))
+    _emit("odometry_64scans", (S - 1) / dt, "pairs/s", ate=err,
+          all_converged=bool(jnp.all(res.converged)))
+
+
+ALL = {
+    "svd_pair": bench_svd_pair,
+    "pt2pl_pair": bench_pt2pl_pair,
+    "batch256": bench_batch256,
+    "large_cloud": bench_large_cloud,
+    "odometry": bench_odometry,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        ALL[name]()

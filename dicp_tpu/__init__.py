@@ -21,6 +21,7 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
 
 from dicp_tpu.api import ICP, batch_size_handling
 from dicp_tpu.config import ICPConfig, config_from_yaml
+from dicp_tpu.ift import register_ift, register_ift_jit
 from dicp_tpu.registration import ICPResult, register, register_jit
 from dicp_tpu.svd_icp import pt2pt_svd_icp
 
@@ -34,6 +35,8 @@ __all__ = [
     "config_from_yaml",
     "pt2pt_svd_icp",
     "register",
+    "register_ift",
+    "register_ift_jit",
     "register_jit",
     "__version__",
 ]

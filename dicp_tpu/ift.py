@@ -1,0 +1,245 @@
+"""Implicit-function-theorem gradients through the ICP fixed point.
+
+The unrolled backward (reverse-mode through ``lax.scan``) differentiates
+every Gauss-Newton iteration — O(iterations) memory and FLOPs.  At a
+converged fixed point the solution satisfies the stationarity condition
+
+    G(theta*, x) = J(theta*)^T W(theta*) e(theta*) = 0
+
+(the weighted normal-equation gradient the solver drives to zero, cf. the
+update at dICP/ICP.py:199-201), so by the implicit function theorem
+
+    d theta* / dx = -(dG/d theta)^{-1} dG/dx.
+
+The backward pass is then ONE k x k linear solve (k = 6, or 3 for dim=2)
+plus one VJP of G — independent of iteration count, and the forward can use
+the cheap early-exit ``while_loop`` driver because nothing needs to be
+differentiated through it.  This is BASELINE.json's "vmapped
+implicit-function-theorem gradients" component; the reference has no
+counterpart (its backward replays the unrolled torch graph, SURVEY.md §3.3).
+
+Semantics match the solver's differentiable mode: correspondences are the
+hard-NN indices at the fixed point (piecewise constant -> treated fixed,
+exactly the reference's detached-argmin semantics), robust/trim weights use
+their smooth differentiable forms, and dG/d theta is the EXACT Jacobian of G
+(via jacfwd), not the Gauss-Newton approximation — so gradients are exact at
+exact fixed points.
+
+Caveat: if an element did NOT converge, the stationarity condition does not
+hold and the IFT gradient is an approximation (check ``result.converged``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dicp_tpu import knn, losses, se3
+from dicp_tpu.config import ICPConfig
+from dicp_tpu.registration import ICPResult, register, register_jit
+
+
+def _solver_weight(w):
+    """The effective IRLS weight the solver applies: (sqrt(w+1e-10)-1e-5)^2
+    (row scaling at dICP/ICP.py:194-196 squared into the normal equations)."""
+    s = jnp.sqrt(w + 1.0e-10) - 1.0e-5
+    return s * s
+
+
+def _pose_from_xi(cfg: ICPConfig, xi, C_star, r_star):
+    """T(theta* [+] xi) as a (N, 4, 4) homogeneous matrix."""
+    dtype = C_star.dtype
+    N = C_star.shape[0]
+    if cfg.dim == 2:
+        zeros = jnp.zeros((N, 1), dtype=dtype)
+        xi6 = jnp.concatenate([zeros, zeros, xi, zeros], axis=-1)
+    else:
+        xi6 = xi
+    del_C = se3.exp_so3(xi6[:, :3])
+    C = jnp.swapaxes(del_C, -1, -2) @ C_star
+    r = r_star - xi6[:, 3:]
+    T = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    return T.at[:, :3, :3].set(C).at[:, :3, 3].set(r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fixed_point_T(cfg: ICPConfig, source, target, weight, T_init):
+    """T* from the cheap early-exit driver (forward value only).
+
+    NOTE: keep ``differentiable=True`` — the flag selects the smooth
+    pseudo-Huber/tanh-trim weight forms (dICP/loss.py:30,:54), which have a
+    DIFFERENT fixed point than the hard forms on noisy data; the backward
+    linearizes the smooth stationarity, so the forward must converge to the
+    smooth fixed point.  The while driver is safe here because custom_vjp
+    never differentiates through it.
+    """
+    res = register_jit(source, target, T_init, weight,
+                       cfg=cfg.with_(differentiable=True, driver="while"))
+    return res.T
+
+
+def _fp_fwd(cfg, source, target, weight, T_init):
+    T = _fixed_point_T(cfg, source, target, weight, T_init)
+    return T, (source, target, weight, T)
+
+
+def _fp_bwd(cfg, saved, T_bar):
+    source, target, weight, T = saved
+    dtype = source.dtype
+    N = source.shape[0]
+    k = 3 if cfg.dim == 2 else 6
+    C_star = T[:, :3, :3]
+    r_star = T[:, :3, 3]
+
+    # preprocessing identical to the solver (z zeroing for dim=2 etc.)
+    src = source[..., :3]
+    tgt = target if cfg.icp_type == "pt2pl" else target[..., :3]
+    if cfg.dim == 2:
+        zmask = jnp.array([1.0, 1.0, 0.0], dtype=dtype)
+        src = src * zmask
+        tgt = tgt * (jnp.concatenate([zmask, zmask]) if tgt.shape[-1] == 6 else zmask)
+    if weight is None:
+        w_prior = jnp.ones(src.shape[:-1], dtype=dtype)
+    else:
+        w_prior = weight
+    if cfg.source_zeroes_are_pad:
+        w_prior = w_prior * (jnp.linalg.norm(src, axis=-1) != 0.0).astype(dtype)
+
+    # fixed correspondences at theta*
+    ps_t = jnp.einsum("nij,npj->npi", C_star, src) + r_star[:, None, :]
+    idx = lax.stop_gradient(knn.nn_indices(ps_t, tgt))
+
+    zero_xi = jnp.zeros((N, k), dtype=dtype)
+
+    def G_full(xi, src_, tgt_, wp_):
+        return _stationarity_weighted(cfg, xi, C_star, r_star, src_, tgt_, idx, wp_)
+
+    # dG/dxi is block-diagonal over the batch (G is elementwise in N), so k
+    # batched JVPs along the coordinate basis give every (k x k) block at once.
+    def G_xi(xi):
+        return G_full(xi, src, tgt, w_prior)
+
+    basis = jnp.eye(k, dtype=dtype)
+    A = jnp.stack(
+        [jax.jvp(G_xi, (zero_xi,), (jnp.broadcast_to(basis[j], (N, k)),))[1]
+         for j in range(k)],
+        axis=-1)  # (N, k, k): A[., i, j] = dG_i/dxi_j
+    # Damp like the solver (dICP/ICP.py:200): on gauge-degenerate problems
+    # (e.g. planar data solved in 3-D) dG/dxi is singular; damping keeps the
+    # adjoint solve finite (null-direction gradients are meaningless anyway).
+    lam = cfg.tikhonov if cfg.tikhonov is not None else (
+        1e-12 if dtype == jnp.float64 else 1e-6)
+    A = A + lam * jnp.eye(k, dtype=dtype)
+
+    # cotangent on xi from the cotangent on T via the retraction map
+    _, pose_vjp = jax.vjp(lambda xi: _pose_from_xi(cfg, xi, C_star, r_star), zero_xi)
+    xi_bar = pose_vjp(T_bar)[0]  # (N, k)
+
+    # lambda solves A^T lambda = xi_bar ; input cotangents = -lambda^T dG/dx
+    lam = jnp.linalg.solve(jnp.swapaxes(A, -1, -2), xi_bar[..., None])[..., 0]
+
+    _, g_vjp = jax.vjp(lambda s, t, wp: G_full(zero_xi, s, t, wp), src, tgt, w_prior)
+    src_bar, tgt_bar, wp_bar = g_vjp(-lam)
+
+    # undo preprocessing on cotangents: src was sliced/zmasked from source
+    source_bar = jnp.zeros_like(source)
+    source_bar = source_bar.at[..., :3].set(src_bar)
+    target_bar = jnp.zeros_like(target)
+    if cfg.icp_type == "pt2pl":
+        target_bar = tgt_bar
+    else:
+        target_bar = target_bar.at[..., :3].set(tgt_bar)
+    weight_bar = None if weight is None else wp_bar
+    T_init_bar = jnp.zeros_like(T)  # fixed point forgets its initialization
+    return source_bar, target_bar, weight_bar, T_init_bar
+
+
+def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior):
+    """_stationarity with the prior weight folded in (w = w_prior*trim*loss,
+    matching dICP/ICP.py:169)."""
+    dtype = source.dtype
+    N, n = source.shape[0], source.shape[1]
+    if cfg.dim == 2:
+        zeros = jnp.zeros((N, 1), dtype=dtype)
+        xi6 = jnp.concatenate([zeros, zeros, xi, zeros], axis=-1)
+    else:
+        xi6 = xi
+    del_C = se3.exp_so3(xi6[:, :3])
+    C = jnp.swapaxes(del_C, -1, -2) @ C_star
+    r = r_star - xi6[:, 3:]
+    cp = jnp.einsum("nij,npj->npi", C, source)
+    ps_t = cp + r[:, None, :]
+    nn6 = knn.gather_rows(target, idx)
+    nn_err = ps_t - nn6[..., :3]
+
+    if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+        trim_w = losses.trim_weight(nn_err, cfg.trim_dist, True, cfg.tanh_steepness)
+    else:
+        trim_w = jnp.ones((N, n), dtype=dtype)
+
+    if cfg.icp_type == "pt2pl":
+        nrm = nn6[..., 3:6]
+        res = jnp.sum(nn_err * nrm, axis=-1)
+        if cfg.loss_name is not None:
+            loss_w = losses.robust_weight(cfg.loss_name, res[..., None],
+                                          cfg.loss_metric, True, cfg.tanh_steepness)
+        else:
+            loss_w = jnp.ones((N, n), dtype=dtype)
+        w = _solver_weight(w_prior * trim_w * loss_w)
+        J = jnp.concatenate([jnp.cross(nrm, cp), -nrm], axis=-1)
+        if cfg.dim == 2:
+            J = J[..., 2:5]
+        return jnp.einsum("npk,np->nk", J, w * res)
+    else:
+        if cfg.loss_name is not None:
+            loss_w = losses.robust_weight(cfg.loss_name, nn_err,
+                                          cfg.loss_metric, True, cfg.tanh_steepness)
+        else:
+            loss_w = jnp.ones((N, n), dtype=dtype)
+        w = _solver_weight(w_prior * trim_w * loss_w)
+        J_C = se3.skew(cp)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, n, 3, 3))
+        J = jnp.concatenate([J_C, -eye], axis=-1)
+        if cfg.dim == 2:
+            J = J[..., 2:5]
+        return jnp.einsum("npak,npa->nk", J, w[..., None] * nn_err)
+
+
+_fixed_point_T.defvjp(_fp_fwd, _fp_bwd)
+
+
+def register_ift(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+) -> ICPResult:
+    """ICP with implicit (fixed-point) gradients.
+
+    Forward: cheap early-exit while_loop driver.  Backward: one k x k solve —
+    O(1) in iteration count (vs the unrolled scan's O(iterations)).  Requires
+    hard NN (no Gumbel) and convergence for exactness.  Histories/stats come
+    from the forward run, detached (matching the reference contract).
+    """
+    if cfg.use_gumbel:
+        raise ValueError("IFT gradients require hard (deterministic) NN")
+    with jax.default_matmul_precision("float32"):
+        T = _fixed_point_T(cfg, source, target, weight, T_init)
+        # pc differentiably recomputed from T and the (z-masked) source
+        src = source[..., :3]
+        if cfg.dim == 2:
+            src = src * jnp.array([1.0, 1.0, 0.0], dtype=source.dtype)
+        pc = jnp.einsum("nij,npj->npi", T[:, :3, :3], src) + T[:, None, :3, 3]
+        stats = register_jit(lax.stop_gradient(source), lax.stop_gradient(target),
+                             lax.stop_gradient(T_init),
+                             None if weight is None else lax.stop_gradient(weight),
+                             cfg=cfg.with_(differentiable=True, driver="while"))
+    return stats._replace(T=T, pc=pc)
+
+
+register_ift_jit = jax.jit(register_ift, static_argnames=("cfg",))

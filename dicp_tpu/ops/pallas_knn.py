@@ -55,18 +55,22 @@ def _nn_kernel(x_ref, y_ref, idx_out, d2_out, best_d2, best_idx):
 
     x = x_ref[:]  # (TQ, 3)
     y = y_ref[:]  # (TM, 3)
-    # Cross term on the MXU at full f32 precision (bf16 default biases
-    # distances enough to flip argmins between close map points).
-    xy = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TQ, TM)
-    y2 = jnp.sum(y * y, axis=1)[None, :]  # (1, TM)
-    d2 = y2 - 2.0 * xy  # |x|^2 omitted: constant per query row
+    # Exact per-coordinate distance tile on the VPU: three broadcast FMA
+    # passes over (TQ, TM).  (A K=3 dot_general looks like the MXU move but
+    # Mosaic lowers it to a lane-padded (TQ, TM, 128) broadcast — ~64 MB of
+    # scoped VMEM; this form keeps ~2 tiles live and has no |x|^2+|y|^2-2xy
+    # cancellation error.)
+    d2 = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+    for c in range(3):
+        diff = x[:, c][:, None] - y[:, c][None, :]
+        d2 = d2 + diff * diff
 
     local_min = jnp.min(d2, axis=1, keepdims=True)          # (TQ, 1)
-    local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+    # first-index-of-min via masked iota-min: two plain VPU reductions.
+    # (jnp.argmin's tuple-reduce lowering also blows the scoped-VMEM stack.)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    local_arg = jnp.min(jnp.where(d2 == local_min, col, jnp.int32(2**30)),
+                        axis=1, keepdims=True)
     global_arg = local_arg + j * y.shape[0]
 
     better = local_min < best_d2[:]
@@ -75,9 +79,8 @@ def _nn_kernel(x_ref, y_ref, idx_out, d2_out, best_d2, best_idx):
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        x2 = jnp.sum(x * x, axis=1, keepdims=True)
         idx_out[:] = best_idx[:]
-        d2_out[:] = jnp.maximum(best_d2[:] + x2, 0.0)
+        d2_out[:] = best_d2[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "tm", "interpret"))

@@ -3,10 +3,11 @@
 The reference ships this only as an unbatched orphan with a per-point Python
 NN loop, not wired into ``icp()`` ("not yet integrated", dICP/ICP.py:533-591).
 Here it is a first-class batched solver: vectorized brute-force NN, weighted
-centroids/covariance, one fused ``jnp.linalg.svd`` over the (N, 3, 3)
-covariance stack per iteration, determinant-corrected rotation
-(C = U diag(1, 1, det U det V^T) V^T, dICP/ICP.py:566-570), running under
-``lax.scan`` (differentiable) or ``lax.while_loop`` (early exit).
+centroids/cross-covariance, and the optimal rotation via Horn's quaternion
+method (a power iteration on a batched symmetric 4x4 — see :func:`_kabsch`)
+instead of the reference's ``torch.svd`` + determinant correction
+(dICP/ICP.py:566-570), running under ``lax.scan`` (differentiable) or
+``lax.while_loop`` (early exit).
 
 Convergence test matches the reference: sum of squared residuals to the
 current correspondences below tolerance (dICP/ICP.py:585).
@@ -14,6 +15,7 @@ current correspondences below tolerance (dICP/ICP.py:585).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -30,11 +32,31 @@ class SVDICPResult(NamedTuple):
     iterations: jnp.ndarray  # (N,) int32 (first iteration at which converged)
 
 
-def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray):
-    """Weighted Kabsch alignment of ps onto qs, both (N, n, 3), w (N, n).
+def _quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (N, 4) [w, x, y, z] -> rotation matrix (N, 3, 3)."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray,
+            power_iters: int = 32):
+    """Weighted optimal rigid alignment of ps onto qs, both (N, n, 3), w (N, n).
 
     Returns (C (N,3,3), r (N,3)) minimizing sum_i w_i |C p_i + r - q_i|^2.
+
+    Implementation is Horn's quaternion method rather than the reference's
+    torch.svd (dICP/ICP.py:566-570): the optimal rotation is the top
+    eigenvector of a symmetric 4x4 built from the cross-covariance, found by
+    a fixed-count power iteration — pure batched matvecs, no LAPACK-style
+    iterative SVD (one (1,3,3) jnp.linalg.svd costs ~29 ms on TPU; this whole
+    routine is microseconds).  Proper rotations (det +1) by construction, so
+    no determinant correction branch is needed.
     """
+    dtype = ps.dtype
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     wsafe = jnp.where(wsum == 0, jnp.ones_like(wsum), wsum)
     wn = w / wsafe
@@ -42,12 +64,32 @@ def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray):
     mean_q = jnp.einsum("np,npi->ni", wn, qs)
     pc = ps - mean_p[:, None, :]
     qc = qs - mean_q[:, None, :]
-    # covariance W_st = sum w (q - q̄)(p - p̄)^T (dICP/ICP.py:558-563)
-    cov = jnp.einsum("np,npi,npj->nij", wn, qc, pc)
-    u, _, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
-    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    C = u @ (d[..., None] * vt)
+    # cross-covariance S[a, b] = sum w p_a q_b (source x target)
+    S = jnp.einsum("np,npa,npb->nab", wn, pc, qc)
+
+    sxx, sxy, sxz = S[:, 0, 0], S[:, 0, 1], S[:, 0, 2]
+    syx, syy, syz = S[:, 1, 0], S[:, 1, 1], S[:, 1, 2]
+    szx, szy, szz = S[:, 2, 0], S[:, 2, 1], S[:, 2, 2]
+    K = jnp.stack([
+        jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1),
+        jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1),
+        jnp.stack([szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy], -1),
+        jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz], -1),
+    ], axis=-2)  # (N, 4, 4) symmetric
+
+    # shift to make the top eigenvalue dominant in magnitude, then power-iterate
+    shift = 2.0 * jnp.sqrt(jnp.sum(S * S, axis=(-2, -1)) + 1e-30)
+    Ks = K + shift[:, None, None] * jnp.eye(4, dtype=dtype)
+
+    q = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype), (ps.shape[0], 4))
+    # Unrolled on purpose: a lax.scan/fori_loop here costs ~0.5 ms of
+    # sequencing overhead PER STEP on TPU; unrolled 4x4 matvecs fuse into one
+    # straight-line block.  Normalize every 4 steps (values stay in range).
+    for i in range(power_iters):
+        q = jnp.einsum("nij,nj->ni", Ks, q)
+        if i % 4 == 3 or i == power_iters - 1:
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    C = _quat_to_rot(q)
     r = mean_q - jnp.einsum("nij,nj->ni", C, mean_p)
     return C, r
 
@@ -70,10 +112,14 @@ def pt2pt_svd_icp(
     variant accepts but ignores it, dICP/ICP.py:534).
     """
     with jax.default_matmul_precision("float32"):
+        # jitted: calling eagerly would trace lax.while_loop/scan with the
+        # clouds baked in as program constants — ~300x slower per call on the
+        # remote-TPU path than passing them as proper arguments.
         return _svd_icp_impl(source, target, T_init, weight, max_iterations,
-                             tolerance, trim_dist, differentiable)
+                            tolerance, trim_dist, differentiable)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _svd_icp_impl(source, target, T_init, weight, max_iterations, tolerance,
                   trim_dist, differentiable):
     squeeze = source.ndim == 2

@@ -1,0 +1,122 @@
+"""Implicit-function-theorem gradient tests: IFT backward must match the
+unrolled-scan backward at a converged fixed point (BASELINE.json tolerance
+1e-4; achieved ~1e-15 in f64)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dicp_tpu.config import ICPConfig
+from dicp_tpu.ift import register_ift
+from dicp_tpu.registration import register
+
+
+def _cfg(**kw):
+    base = dict(icp_type="pt2pl", differentiable=True, max_iterations=60,
+                tolerance=1e-12, dim=2, trim_dist=5.0,
+                loss_name="huber", loss_metric=1.0)
+    base.update(kw)
+    return ICPConfig(**base)
+
+
+@pytest.mark.parametrize("icp_type,loss_name,loss_metric", [
+    ("pt2pl", "huber", 1.0),
+    ("pt2pl", "cauchy", 0.5),
+    ("pt2pt", "huber", 1.0),
+    ("pt2pl", None, 1.0),
+])
+def test_ift_matches_unrolled(source_np, target_np, icp_type, loss_name, loss_metric):
+    cfg = _cfg(icp_type=icp_type, loss_name=loss_name, loss_metric=loss_metric)
+    src = jnp.asarray(source_np[None, :, :3])
+    tgt = jnp.asarray(target_np[None] if icp_type == "pt2pl" else target_np[None, :, :3])
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+
+    T_u = register(src, tgt, ti, None, cfg).T
+    T_i = register_ift(src, tgt, ti, None, cfg).T
+    np.testing.assert_allclose(np.asarray(T_u), np.asarray(T_i), atol=1e-12)
+
+    g_u = jax.grad(lambda a: jnp.sum(register(a, tgt, ti, None, cfg).T))(src)
+    g_i = jax.grad(lambda a: jnp.sum(register_ift(a, tgt, ti, None, cfg).T))(src)
+    scale = np.abs(np.asarray(g_u)).max()
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u), atol=1e-6 * max(scale, 1))
+
+    tg_u = jax.grad(lambda b: jnp.sum(register(src, b, ti, None, cfg).T))(tgt)
+    tg_i = jax.grad(lambda b: jnp.sum(register_ift(src, b, ti, None, cfg).T))(tgt)
+    scale = np.abs(np.asarray(tg_u)).max()
+    np.testing.assert_allclose(np.asarray(tg_i), np.asarray(tg_u), atol=1e-6 * max(scale, 1))
+
+
+def test_ift_3d():
+    """Full 6-DOF problem on genuinely 3-D data (the planar test pair is
+    gauge-degenerate in 3-D: out-of-plane motion is unobservable, both
+    unrolled and implicit gradients blow up along the null directions)."""
+    from dicp_tpu import se3
+
+    rng = np.random.default_rng(0)
+    # points on three planes with distinct normals -> well-conditioned pt2pl
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts, nrms = [], []
+    for k in range(3):
+        uv = rng.uniform(-2, 2, size=(30, 2))
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (0.5 + k))
+        nrms.append(np.tile(normals[k], (30, 1)))
+    target = jnp.asarray(np.hstack([np.vstack(pts), np.vstack(nrms)]))
+    xi = jnp.asarray(np.array([0.05, -0.04, 0.03, 0.02, -0.01, 0.03]))
+    T_ts = se3.tran_inv(se3.vec2tran(xi))
+    T_st = se3.vec2tran(xi)
+    source = (target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3])[None]
+    tgt = target[None]
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+
+    cfg = _cfg(dim=3, max_iterations=80, trim_dist=None)
+    T_u = register(source, tgt, ti, None, cfg).T
+    err = np.abs(np.asarray(T_u[0]) - np.asarray(T_ts)).max()
+    assert err < 1e-6, err
+
+    g_u = jax.grad(lambda a: jnp.sum(register(a, tgt, ti, None, cfg).T))(source)
+    g_i = jax.grad(lambda a: jnp.sum(register_ift(a, tgt, ti, None, cfg).T))(source)
+    scale = max(np.abs(np.asarray(g_u)).max(), 1)
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u), atol=1e-5 * scale)
+
+
+def test_ift_weight_gradients(source_np, target_np):
+    """d T*/d weight: the clean test pair converges to zero residuals where
+    this gradient vanishes identically — perturb the target so the fixed
+    point balances nonzero residuals and the weight gradient is informative."""
+    rng = np.random.default_rng(3)
+    tgt_np = target_np.copy()
+    tgt_np[:, :3] += rng.normal(scale=0.05, size=(tgt_np.shape[0], 3))
+    tgt_np[:, 2] = 0.0  # keep planar (dim=2 zeroes z anyway)
+
+    cfg = _cfg()
+    src = jnp.asarray(source_np[None, :, :3])
+    tgt = jnp.asarray(tgt_np[None])
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+    w = jnp.ones(src.shape[:2], dtype=jnp.float64)
+
+    g_u = jax.grad(lambda w_: jnp.sum(register(src, tgt, ti, w_, cfg).T))(w)
+    g_i = jax.grad(lambda w_: jnp.sum(register_ift(src, tgt, ti, w_, cfg).T))(w)
+    scale = np.abs(np.asarray(g_u)).max()
+    assert scale > 1e-8, "weight gradient should be nontrivial on noisy data"
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u), atol=1e-6 * scale)
+
+
+def test_ift_batched(source_np, target_np):
+    cfg = _cfg()
+    src = jnp.asarray(np.stack([source_np[:, :3]] * 3))
+    tgt = jnp.asarray(np.stack([target_np] * 3))
+    ti = jnp.asarray(np.stack([np.eye(4)] * 3))
+    res = register_ift(src, tgt, ti, None, cfg)
+    assert res.T.shape == (3, 4, 4)
+    g = jax.grad(lambda a: jnp.sum(register_ift(a, tgt, ti, None, cfg).T))(src)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ift_rejects_gumbel(source_np, target_np):
+    cfg = _cfg(use_gumbel=True)
+    with pytest.raises(ValueError):
+        register_ift(jnp.asarray(source_np[None, :, :3]),
+                     jnp.asarray(target_np[None]),
+                     jnp.eye(4, dtype=jnp.float64)[None], None, cfg)

@@ -1,0 +1,32 @@
+"""Utils: profiling helper + checkpoint/resume round trip."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dicp_tpu.utils import benchmark, load_odometry_state, save_odometry_state
+
+
+def test_benchmark_helper():
+    stats = benchmark(lambda: jnp.sum(jnp.ones((64, 64))), n=3)
+    assert stats["n"] == 3
+    assert stats["mean_s"] > 0 and stats["min_s"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "odo.npz")
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    rel = np.tile(np.eye(4), (4, 1, 1))
+    save_odometry_state(path, poses, rel_transforms=rel,
+                        edges_i=np.arange(4), edges_j=np.arange(1, 5),
+                        t_meas=rel, info=np.ones(4), step=7)
+    state = load_odometry_state(path)
+    np.testing.assert_array_equal(state["poses"], poses)
+    np.testing.assert_array_equal(state["rel_transforms"], rel)
+    assert int(state["step"]) == 7
+    # overwrite is atomic and idempotent
+    save_odometry_state(path, poses[:2])
+    state2 = load_odometry_state(path)
+    assert state2["poses"].shape == (2, 4, 4)
+    assert "step" not in state2
