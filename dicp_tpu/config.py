@@ -60,6 +60,11 @@ class ICPConfig:
     driver: str = "auto"  # 'auto' | 'scan' | 'while'
     remat: bool = False
     use_pallas_nn: Optional[bool] = None
+    # Normal-equation solve: 'closed' = pivot-free Cramer/Schur closed form
+    # (fuses to VPU elementwise ops; valid because A is SPD), 'lu' = XLA's
+    # generic batched LU (the reference's torch.linalg.inv analogue).
+    solve_method: str = "closed"  # 'closed' | 'lu'
+    scan_unroll: int = 1  # lax.scan unroll factor for the diff driver
 
     def __post_init__(self):
         if self.icp_type not in ("pt2pt", "pt2pl"):
@@ -70,6 +75,8 @@ class ICPConfig:
             raise ValueError(f"loss_name must be 'huber' or 'cauchy', got {self.loss_name}")
         if self.driver not in ("auto", "scan", "while"):
             raise ValueError(f"driver must be auto|scan|while, got {self.driver}")
+        if self.solve_method not in ("closed", "lu"):
+            raise ValueError(f"solve_method must be closed|lu, got {self.solve_method}")
 
     def resolved_driver(self) -> str:
         if self.driver != "auto":

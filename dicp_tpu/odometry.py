@@ -152,11 +152,14 @@ def pose_graph_optimize(poses: jnp.ndarray, graph: PoseGraph,
         b = b.at[graph.edges_i].add(jnp.einsum("eab,ea->eb", J_i * w, r))
         b = b.at[graph.edges_j].add(jnp.einsum("eab,ea->eb", J_j * w, r))
 
-        Hd = H.reshape(V * 6, V * 6)
+        Hd = H.reshape(V * 6, V * 6) + damping * jnp.eye(V * 6, dtype=dtype)
         bd = b.reshape(V * 6)
-        # gauge fix pose 0: clamp its block with a large prior
-        prior = jnp.zeros((V * 6,), dtype).at[:6].set(1e6)
-        Hd = Hd + jnp.diag(prior + damping)
+        # gauge fix pose 0 exactly: replace its rows/cols with identity so
+        # delta_0 = 0.  (A large-prior clamp would square the condition
+        # number and break float32 — see tests/test_pose_graph_partitioned.)
+        m = jnp.zeros((V * 6,), dtype).at[:6].set(1.0)
+        Hd = Hd * (1.0 - m)[:, None] * (1.0 - m)[None, :] + jnp.diag(m)
+        bd = bd * (1.0 - m)
         delta = -jnp.linalg.solve(Hd, bd).reshape(V, 6)
         poses = poses @ jax.vmap(se3.vec2tran)(delta)
         cost = jnp.sum(graph.info * jnp.sum(r * r, axis=-1))

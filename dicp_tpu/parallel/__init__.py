@@ -5,6 +5,10 @@ from dicp_tpu.parallel.sharding import (
     register_map_sharded,
     MapShardedResult,
 )
+from dicp_tpu.parallel.pose_graph import (
+    partition_graph,
+    pose_graph_optimize_partitioned,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +16,6 @@ __all__ = [
     "register_batch_sharded",
     "register_map_sharded",
     "MapShardedResult",
+    "partition_graph",
+    "pose_graph_optimize_partitioned",
 ]

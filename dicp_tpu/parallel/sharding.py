@@ -153,7 +153,9 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         A = lax.psum(A_local, "map") + lam * jnp.eye(k, dtype=dtype)
         b = lax.psum(b_local, "map")
         cost = lax.psum(cost_local, "map")
-        delta_k = -jnp.linalg.solve(A, b[:, None])[:, 0]
+        from dicp_tpu.ops.smallsolve import solve_spd
+        delta_k = -solve_spd(A, b) if cfg.solve_method == "closed" \
+            else -jnp.linalg.solve(A, b[:, None])[:, 0]
 
         if cfg.dim == 2:
             z = jnp.zeros((1,), dtype=dtype)

@@ -175,7 +175,14 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
 
     A = jnp.einsum("npi,npj->nij", J_w, J_w) + _tikhonov(cfg, dtype) * jnp.eye(k, dtype=dtype)
     b = jnp.einsum("npi,np->ni", J_w, res_w)
-    delta_k = -jnp.linalg.solve(A, b[..., None])[..., 0]  # (N, k)
+    if cfg.solve_method == "closed":
+        # A is SPD (J^T W J + lambda I): pivot-free closed-form solve fuses to
+        # VPU elementwise ops instead of XLA's sequential batched LU.
+        from dicp_tpu.ops.smallsolve import solve_spd
+
+        delta_k = -solve_spd(A, b)                        # (N, k)
+    else:
+        delta_k = -jnp.linalg.solve(A, b[..., None])[..., 0]  # (N, k)
 
     if cfg.dim == 2:
         # Embed (omega_z, rho_x, rho_y) into the 6-vector (dICP/ICP.py:204-207).
@@ -290,7 +297,8 @@ def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
             return step((carry, it))
         return lax.cond(jnp.all(carry.converged), skip, step, (carry, it))
 
-    carry, (deltas, weights, costs) = lax.scan(body, carry0, jnp.arange(cfg.max_iterations))
+    carry, (deltas, weights, costs) = lax.scan(
+        body, carry0, jnp.arange(cfg.max_iterations), unroll=cfg.scan_unroll)
     return carry, deltas, weights, costs
 
 

@@ -18,7 +18,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_SMALL = 1e-6  # switch to Taylor series below this angle
+def _small(dtype) -> float:
+    """Angle below which Taylor series replace the exact trig expressions.
+
+    Must be dtype-aware: with the f64 threshold (1e-6) in float32, ``1 - cos``
+    underflows to 0 and ``arccos`` is evaluated at exactly 1.0 with a live
+    tangent (infinite slope), producing wrong values and NaN gradients.  At
+    0.1 the dropped Taylor terms are O(theta^6) ~ 1e-9 relative — below f32
+    resolution — while the exact branches (``1 - cos``, ``1 - cot``) keep
+    >= 4 significant digits.
+    """
+    return 1e-6 if jnp.finfo(dtype).bits >= 64 else 0.1
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +58,7 @@ def vee(m: jnp.ndarray) -> jnp.ndarray:
 def _safe_theta(theta2: jnp.ndarray):
     """(small_mask, theta) with theta = 1 where small — sqrt never sees 0, so
     no inf/NaN leaks through ``jnp.where`` in reverse mode."""
-    small = theta2 < _SMALL**2
+    small = theta2 < _small(theta2.dtype) ** 2
     theta = jnp.sqrt(jnp.where(small, jnp.ones_like(theta2), theta2))
     return small, theta
 
@@ -89,7 +99,7 @@ def log_so3(rot: jnp.ndarray) -> jnp.ndarray:
     """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    small = cos_theta > 1.0 - _SMALL**2 / 2.0  # theta < ~_SMALL
+    small = cos_theta > 1.0 - _small(cos_theta.dtype) ** 2 / 2.0  # theta < ~_small
     # arccos has infinite slope at 1 — mask its input so no NaN grad leaks
     # through jnp.where into the small-angle branch.
     theta = jnp.arccos(jnp.where(small, jnp.zeros_like(cos_theta), cos_theta))

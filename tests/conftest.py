@@ -36,3 +36,9 @@ def source_np():
 def target_np():
     """65-point map with unit normals in columns 3:6 (tests/data)."""
     return np.load(os.path.join(DATA_DIR, "points_map.npy"))
+
+
+@pytest.fixture
+def test_pair(source_np, target_np):
+    """(scan, map) tuple — the reference's test pair."""
+    return source_np, target_np
