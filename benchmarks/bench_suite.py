@@ -25,13 +25,17 @@ def _pair(dtype=np.float32):
             np.load(os.path.join(base, "points_map.npy")).astype(dtype))
 
 
-def _time(fn, n=10):
-    fn()  # compile
-    t0 = time.time()
-    for _ in range(n):
-        out = fn()
-    _block(out)
-    return (time.time() - t0) / n
+def _time(fn, n=10, reps=3):
+    """Best-of-`reps` mean over `n` dispatches (damps axon tunnel jitter)."""
+    _block(fn())  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(n):
+            out = fn()
+        _block(out)
+        best = min(best, (time.time() - t0) / n)
+    return best
 
 
 def _block(out):
@@ -64,7 +68,7 @@ def bench_svd_pair():
     res = run()
     _block(res)
     T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
-    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T))))
+    err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T)))))
     _emit("svd_pair", dt * 1e3, "ms/pair", transform_err=err,
           iterations=int(res.iterations))
 
@@ -92,7 +96,7 @@ def bench_pt2pl_pair():
     res = run()
     _block(res)
     T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
-    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T[0]))))
+    err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T[0])))))
     _emit("pt2pl_pair", dt * 1e3, "ms/pair", transform_err=err,
           iterations=float(res.iterations[0]))
 
@@ -173,7 +177,7 @@ def bench_large_cloud():
     res = run()
     _block(res)
     T_true = se3.tran_inv(T_st)
-    err = float(jnp.linalg.norm(se3.tran2vec(T_true @ jnp.linalg.inv(res.T[0]))))
+    err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T[0])))))
     _emit("large_cloud_100k", dt * 1e3, "ms/registration", transform_err=err,
           iterations=float(res.iterations[0]))
 

@@ -45,7 +45,9 @@ def compose_chain(rel: jnp.ndarray) -> jnp.ndarray:
     (K+1, 4, 4) absolute poses, pose[0] = I, pose[i+1] = pose[i] @ rel[i].
     ``lax.associative_scan`` gives a log-depth parallel prefix on device.
     """
-    prefix = lax.associative_scan(jnp.matmul, rel)
+    # full-precision matmuls: an L-deep prefix chain amplifies the TPU's
+    # default bf16 truncation into O(1e-2) pose drift
+    prefix = lax.associative_scan(se3.compose, rel)
     eye = jnp.broadcast_to(jnp.eye(4, dtype=rel.dtype), (1, 4, 4))
     return jnp.concatenate([eye, prefix], axis=0)
 
@@ -65,8 +67,9 @@ def odometry(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
     target = scans[:-1]
     if rel_init is None:
         rel_init = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (S - 1, 4, 4))
-    res = register(source, target, rel_init, None, cfg)
-    poses = compose_chain(res.T)
+    with jax.default_matmul_precision("float32"):
+        res = register(source, target, rel_init, None, cfg)
+        poses = compose_chain(res.T)
     return OdometryResult(poses=poses, rel_transforms=res.T,
                           converged=res.converged, iterations=res.iterations)
 
@@ -84,9 +87,10 @@ def ate(poses_pred: jnp.ndarray, poses_true: jnp.ndarray,
     if align:
         from dicp_tpu.svd_icp import _kabsch
 
-        w = jnp.ones((1, p.shape[0]), dtype=p.dtype)
-        C, r = _kabsch(p[None], q[None], w)
-        p = p @ C[0].T + r[0]
+        with jax.default_matmul_precision("float32"):
+            w = jnp.ones((1, p.shape[0]), dtype=p.dtype)
+            C, r = _kabsch(p[None], q[None], w)
+            p = jnp.matmul(p, C[0].T, precision=jax.lax.Precision.HIGHEST) + r[0]
     return jnp.sqrt(jnp.mean(jnp.sum((p - q) ** 2, axis=-1)))
 
 
@@ -165,7 +169,8 @@ def pose_graph_optimize(poses: jnp.ndarray, graph: PoseGraph,
         cost = jnp.sum(graph.info * jnp.sum(r * r, axis=-1))
         return poses, cost
 
-    poses, costs = lax.scan(gn_step, poses, None, length=iterations)
+    with jax.default_matmul_precision("float32"):
+        poses, costs = lax.scan(gn_step, poses, None, length=iterations)
     return poses, costs[-1]
 
 

@@ -1,0 +1,173 @@
+"""Surface-normal estimation from raw point clouds.
+
+The reference assumes pt2pl targets arrive with precomputed normal columns
+(dICP/ICP.py:101-103); a complete LiDAR front-end must produce them.  Classic
+PCA normals: the normal at p is the smallest-eigenvalue eigenvector of the
+covariance of its k nearest neighbors.
+
+TPU-first choices:
+
+* neighborhoods via the same brute-force MXU distance matrix as the solver,
+  top-k with ``jax.lax.top_k`` (a VPU sort, no host sync);
+* the 3x3 symmetric eigenproblem solved in CLOSED FORM (trigonometric
+  eigenvalues + eigenspace projector), not ``jnp.linalg.eigh`` — XLA lowers
+  tiny eigh to a sequential Jacobi loop costing ~29 ms per dispatch on TPU;
+* everything vmap/jit-safe with static shapes; 2-D scans get a dedicated
+  2x2 path (for planar data the 3-D smallest eigenvector is the out-of-plane
+  axis, not the in-plane contour normal).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dicp_tpu.knn import pairwise_sq_dist
+
+
+def smallest_eigvec_sym3(a: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
+
+    Trigonometric closed form (Smith's algorithm) for the eigenvalues
+    lam1 >= lam2 >= lam3, then the lam3 eigenspace as the column space of
+    (A - lam1 I)(A - lam2 I); the largest column is numerically the most
+    stable representative.  Isotropic neighborhoods (p ~ 0) fall back to
+    +z — the caller cannot recover a meaningful normal there anyway.
+    """
+    dtype = a.dtype
+    q = (a[..., 0, 0] + a[..., 1, 1] + a[..., 2, 2]) / 3.0
+    a01, a02, a12 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    d0 = a[..., 0, 0] - q
+    d1 = a[..., 1, 1] - q
+    d2 = a[..., 2, 2] - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    # relative degeneracy scale: isotropic if spread << mean eigenvalue
+    degenerate = p2 < (eps * (1.0 + jnp.abs(q))) ** 2
+    p = jnp.sqrt(jnp.where(degenerate, jnp.ones_like(p2), p2) / 6.0)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), a.shape)
+    b = (a - q[..., None, None] * eye) / p[..., None, None]
+    det_b = (b[..., 0, 0] * (b[..., 1, 1] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 1])
+             - b[..., 0, 1] * (b[..., 1, 0] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 0])
+             + b[..., 0, 2] * (b[..., 1, 0] * b[..., 2, 1] - b[..., 1, 1] * b[..., 2, 0]))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+
+    # (A - lam1)(A - lam2) projects onto the lam3 eigenspace
+    m = (a - lam1[..., None, None] * eye) @ (a - lam2[..., None, None] * eye)
+    norms2 = jnp.sum(m * m, axis=-2)                       # (..., 3) column norms
+    best = jnp.argmax(norms2, axis=-1)
+    v = jnp.take_along_axis(m, best[..., None, None], axis=-1)[..., 0]
+    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ez = jnp.zeros_like(v).at[..., 2].set(1.0)
+    bad = degenerate[..., None] | (vnorm < eps * (1.0 + jnp.abs(q))[..., None])
+    safe = jnp.where(bad, jnp.ones_like(vnorm), vnorm)
+    return jnp.where(bad, ez, v / safe)
+
+
+def _vmap_leading(fn, x, ndim_core=2):
+    for _ in range(x.ndim - ndim_core):
+        fn = jax.vmap(fn)
+    return fn
+
+
+def knn_indices(points: jnp.ndarray, k: int,
+                query: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Indices of the k nearest points (incl. self) for each query (..., n, k)."""
+    q = points if query is None else query
+    d2 = pairwise_sq_dist(q, points)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx
+
+
+def _normals_single(points: jnp.ndarray, neighbor_idx: jnp.ndarray,
+                    viewpoint: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(n, 3) cloud + (n, k) neighbor indices -> (n, 3) oriented unit normals."""
+    nbrs = points[neighbor_idx]                            # (n, k, 3)
+    mu = jnp.mean(nbrs, axis=-2, keepdims=True)
+    c = nbrs - mu
+    cov = jnp.einsum("nka,nkb->nab", c, c) / k             # (n, 3, 3)
+    n = smallest_eigvec_sym3(cov)
+    flip = jnp.sum(n * (viewpoint[None, :] - points), axis=-1, keepdims=True) < 0.0
+    return jnp.where(flip, -n, n)
+
+
+def estimate_normals(
+    points: jnp.ndarray,
+    k: int = 16,
+    viewpoint: Optional[jnp.ndarray] = None,
+    neighbor_idx: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """PCA normals for a 3-D cloud (..., n, 3) -> unit normals (..., n, 3).
+
+    ``viewpoint`` (3,) orients normals to face it (default: the origin — the
+    LiDAR sensor frame convention).  ``neighbor_idx`` (..., n, k) skips the
+    internal kNN (reuse the solver's correspondence machinery).
+    """
+    pts = points[..., :3]
+    if neighbor_idx is None:
+        neighbor_idx = knn_indices(pts, k)
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), pts.dtype)
+
+    fn = functools.partial(_normals_single, k=neighbor_idx.shape[-1])
+    wrapped = _vmap_leading(lambda p, i: fn(p, i, viewpoint), pts)
+    with jax.default_matmul_precision("float32"):
+        return wrapped(pts, neighbor_idx)
+
+
+def _normals_2d_single(xy: jnp.ndarray, idx: jnp.ndarray,
+                       viewpoint: jnp.ndarray) -> jnp.ndarray:
+    nbrs = xy[idx]                                         # (n, k, 2)
+    mu = jnp.mean(nbrs, axis=-2, keepdims=True)
+    c = nbrs - mu
+    cxx = jnp.sum(c[..., 0] * c[..., 0], axis=-1)
+    cyy = jnp.sum(c[..., 1] * c[..., 1], axis=-1)
+    cxy = jnp.sum(c[..., 0] * c[..., 1], axis=-1)
+    # smallest eigenvalue of [[cxx, cxy], [cxy, cyy]] (closed form)
+    tr = cxx + cyy
+    gap = jnp.sqrt(jnp.clip((cxx - cyy) ** 2 + 4.0 * cxy * cxy, 0.0, None))
+    lam_min = 0.5 * (tr - gap)
+    # eigenvector: (cxy, lam - cxx) or (lam - cyy, cxy) — pick the better
+    # conditioned of the two equivalent forms
+    v1 = jnp.stack([cxy, lam_min - cxx], axis=-1)
+    v2 = jnp.stack([lam_min - cyy, cxy], axis=-1)
+    pick = (jnp.sum(v1 * v1, axis=-1, keepdims=True)
+            >= jnp.sum(v2 * v2, axis=-1, keepdims=True))
+    v = jnp.where(pick, v1, v2)
+    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    eps = jnp.asarray(jnp.finfo(xy.dtype).eps, xy.dtype) * (1.0 + tr[..., None])
+    ex = jnp.zeros_like(v).at[..., 0].set(1.0)
+    bad = vnorm < eps
+    v = jnp.where(bad, ex, v / jnp.where(bad, jnp.ones_like(vnorm), vnorm))
+    flip = jnp.sum(v * (viewpoint[None, :2] - xy), axis=-1, keepdims=True) < 0.0
+    v = jnp.where(flip, -v, v)
+    return jnp.concatenate([v, jnp.zeros_like(v[..., :1])], axis=-1)
+
+
+def estimate_normals_2d(
+    points: jnp.ndarray,
+    k: int = 8,
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """In-plane contour normals for a planar scan (..., n, 2|3) -> (..., n, 3).
+
+    Uses the 2x2 covariance of the (x, y) neighborhood; output normals have
+    z = 0 (the solver's dim=2 convention, dICP/ICP.py:113-116).
+    """
+    xy = points[..., :2]
+    pts3 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+    idx = knn_indices(pts3, k)
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), xy.dtype)
+    wrapped = _vmap_leading(lambda p, i: _normals_2d_single(p, i, viewpoint), xy)
+    with jax.default_matmul_precision("float32"):
+        return wrapped(xy, idx)

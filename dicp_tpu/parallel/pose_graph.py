@@ -215,7 +215,8 @@ def _make_device_body(I_max: int, S: int, sep_ids, iterations: int,
             upd = upd.at[sep_ids].add(d_S.reshape(S, 6))
             return poses @ jax.vmap(se3.vec2tran)(upd), None
 
-        poses, _ = lax.scan(gn_body, poses, None, length=iterations)
+        with jax.default_matmul_precision("float32"):
+            poses, _ = lax.scan(gn_body, poses, None, length=iterations)
         return poses
 
     return body

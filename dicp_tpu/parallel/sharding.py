@@ -20,7 +20,7 @@ parallelism concepts across a pod slice:
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -229,7 +229,11 @@ def register_map_sharded(
         source = jnp.concatenate([source, jnp.zeros((pad, 3), dtype=dtype)])
         weight = jnp.concatenate([weight, jnp.zeros((pad,), dtype=dtype)])
 
-    body = functools.partial(_map_sharded_body, cfg)
+    def body(*args):
+        # pin MXU precision: the per-shard distance/Jacobian matmuls run
+        # outside register()'s pinned scope
+        with jax.default_matmul_precision("float32"):
+            return _map_sharded_body(cfg, *args)
     fn = jax.jit(
         jax.shard_map(
             body, mesh=mesh,

@@ -16,7 +16,16 @@ no NaN leaks into gradients).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+# These 3x3/3x1 matmuls are never MXU-bound, but on TPU the default bf16
+# matmul pass truncates them to ~3 decimal digits — enough to corrupt any
+# transform-error metric computed outside the solvers' pinned-precision
+# scope.  Pin full precision at every matmul in this module.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 def _small(dtype) -> float:
     """Angle below which Taylor series replace the exact trig expressions.
@@ -87,7 +96,7 @@ def exp_so3(phi: jnp.ndarray) -> jnp.ndarray:
     a = _sin_theta_over_theta(theta2)
     b = _one_minus_cos_over_theta2(theta2)
     k = skew(phi)
-    kk = k @ k
+    kk = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
     return eye + a[..., None, None] * k + b[..., None, None] * kk
 
@@ -145,7 +154,7 @@ def left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     c_taylor = 1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0
     c = jnp.where(small, c_taylor, c_exact)
     k = skew(phi)
-    kk = k @ k
+    kk = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
     return eye + b[..., None, None] * k + c[..., None, None] * kk
 
@@ -159,7 +168,7 @@ def left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
     cot_term_taylor = 1.0 - theta2 / 12.0 - theta2 * theta2 / 720.0
     cot = jnp.where(small, cot_term_taylor, cot_term_exact)
     k = skew(phi)
-    kk = k @ k
+    kk = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
     safe_t2 = jnp.where(small, jnp.ones_like(theta2), theta2)
     d_exact = (1.0 - cot) / safe_t2
@@ -176,7 +185,7 @@ def vec2tran(xi: jnp.ndarray) -> jnp.ndarray:
     """
     rho, phi = xi[..., :3], xi[..., 3:]
     rot = exp_so3(phi)
-    r = (left_jacobian(phi) @ rho[..., None])[..., 0]
+    r = _mm(left_jacobian(phi), rho[..., None])[..., 0]
     top = jnp.concatenate([rot, r[..., None]], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
@@ -191,7 +200,7 @@ def tran2vec(tran: jnp.ndarray) -> jnp.ndarray:
     rot = tran[..., :3, :3]
     r = tran[..., :3, 3]
     phi = log_so3(rot)
-    rho = (left_jacobian_inv(phi) @ r[..., None])[..., 0]
+    rho = _mm(left_jacobian_inv(phi), r[..., None])[..., 0]
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -199,11 +208,11 @@ def tran_inv(tran: jnp.ndarray) -> jnp.ndarray:
     """Fast SE(3) inverse: [[C, r], [0, 1]]^-1 = [[C^T, -C^T r], [0, 1]]."""
     rot_t = jnp.swapaxes(tran[..., :3, :3], -1, -2)
     r = tran[..., :3, 3:]
-    top = jnp.concatenate([rot_t, -(rot_t @ r)], axis=-1)
+    top = jnp.concatenate([rot_t, -_mm(rot_t, r)], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
 
 
 def compose(t_ab: jnp.ndarray, t_bc: jnp.ndarray) -> jnp.ndarray:
     """Compose transforms: T_ac = T_ab @ T_bc (broadcasting matmul)."""
-    return t_ab @ t_bc
+    return _mm(t_ab, t_bc)

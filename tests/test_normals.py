@@ -1,0 +1,78 @@
+"""PCA normal estimation: closed-form 3x3 eigen, 3-D planes, 2-D contours."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dicp_tpu.ops.normals import (estimate_normals, estimate_normals_2d,
+                                  knn_indices, smallest_eigvec_sym3)
+
+
+def _angular_err(n_est, n_true):
+    """Angle between unit vectors, sign-agnostic (degrees)."""
+    cos = np.clip(np.abs(np.sum(np.asarray(n_est) * np.asarray(n_true), axis=-1)), 0, 1)
+    return np.degrees(np.arccos(cos))
+
+
+def test_smallest_eigvec_matches_eigh():
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(128, 3, 3))
+    a = jnp.asarray(m @ np.swapaxes(m, -1, -2))
+    v = smallest_eigvec_sym3(a)
+    w, vecs = np.linalg.eigh(np.asarray(a))
+    v_ref = vecs[..., 0]  # eigh sorts ascending
+    err = _angular_err(v, v_ref)
+    assert np.max(err) < 1e-4, f"max angular error {np.max(err)} deg"
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0, atol=1e-9)
+
+
+def test_smallest_eigvec_degenerate():
+    """Isotropic (multiple of identity) matrices must not NaN."""
+    a = jnp.broadcast_to(jnp.eye(3) * 2.5, (4, 3, 3))
+    v = smallest_eigvec_sym3(a)
+    assert np.all(np.isfinite(np.asarray(v)))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0)
+
+
+def test_plane_normals():
+    """Noisy samples of known planes recover the plane normal."""
+    rng = np.random.default_rng(1)
+    n_true = np.array([1.0, 2.0, -0.5])
+    n_true /= np.linalg.norm(n_true)
+    basis = np.linalg.svd(n_true[None])[2][1:]  # orthonormal in-plane basis
+    uv = rng.uniform(-5, 5, size=(400, 2))
+    pts = uv @ basis + 10.0 * n_true  # plane offset from the origin/viewpoint
+    pts += 0.005 * rng.normal(size=pts.shape)
+    normals = estimate_normals(jnp.asarray(pts), k=12)
+    err = _angular_err(normals, n_true[None])
+    assert np.percentile(err, 95) < 2.0, f"p95 angular error {np.percentile(err, 95)}"
+    # oriented towards the origin viewpoint: n . (vp - p) >= 0
+    dots = np.sum(np.asarray(normals) * (0.0 - pts), axis=-1)
+    assert np.all(dots >= 0.0)
+
+
+def test_normals_batched_and_jit():
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(3, 64, 3)))
+    out = jax.jit(lambda p: estimate_normals(p, k=8))(pts)
+    assert out.shape == (3, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_2d_contour_normals(target_np):
+    """The reference map cloud ships in-plane unit normals (SURVEY.md #14);
+    estimated 2-D contour normals should agree with the stored ones."""
+    pts = jnp.asarray(target_np[:, :3])
+    stored = target_np[:, 3:6]
+    est = estimate_normals_2d(pts, k=4)
+    assert np.allclose(np.asarray(est)[:, 2], 0.0)
+    err = _angular_err(est, stored)
+    # the scan is a curved contour sampled at ~65 points; allow a loose tail
+    assert np.median(err) < 10.0, f"median angular error {np.median(err)} deg"
+
+
+def test_knn_indices_self_first():
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(50, 3)))
+    idx = knn_indices(pts, 5)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(50))

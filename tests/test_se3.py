@@ -98,3 +98,27 @@ def test_jit_vmap():
     T = jax.jit(jax.vmap(se3.vec2tran))(xi)
     back = jax.jit(jax.vmap(se3.tran2vec))(T)
     np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-9)
+
+
+def test_float32_small_angles():
+    """Regression: with the f64 small-angle threshold, float32 log/exp broke
+    near identity — `1 - cos` underflowed to 0 (wrong left_jacobian) and
+    `arccos` was evaluated at exactly 1.0 with a live tangent (NaN gradients
+    through tran2vec of near-identity transforms)."""
+    rng = np.random.default_rng(7)
+    for scale in [0.0, 1e-8, 1e-4, 1e-2, 0.5]:
+        xi = jnp.asarray(rng.normal(size=(32, 6)) * scale, jnp.float32)
+        T = jax.vmap(se3.vec2tran)(xi)
+        back = jax.vmap(se3.tran2vec)(T)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xi),
+                                   atol=max(2e-7, 3e-7 * scale), rtol=0)
+
+        g = jax.grad(lambda x: jnp.sum(jax.vmap(se3.tran2vec)(
+            jax.vmap(se3.vec2tran)(x))))(xi)
+        assert np.all(np.isfinite(np.asarray(g))), f"NaN grad at scale {scale}"
+
+    # left_jacobian must not collapse to identity minus garbage in f32
+    phi = jnp.asarray([[0.05, 0.0, 0.0]], jnp.float32)
+    J = se3.left_jacobian(phi)[0]
+    J64 = se3.left_jacobian(jnp.asarray(phi, jnp.float64))[0]
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J64), atol=1e-6)
