@@ -219,12 +219,85 @@ def bench_odometry():
           all_converged=bool(jnp.all(res.converged)))
 
 
+def bench_pipeline():
+    """End-to-end streaming odometry: disk -> native host preprocess (range
+    filter + voxel hash-grid) -> prefetched host->device transfer -> TPU
+    registration, one scan pair at a time (the online-SLAM serving path).
+    Reports whole-pipeline frames/s and the trajectory error."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.io import ScanDataset, save_bin
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(0)
+    # synthetic 3-D scene (three planes), ~60k raw points per scan
+    n_raw = 60_000
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts = []
+    for k in range(3):
+        uv = rng.uniform(-20, 20, size=(n_raw // 3, 2)).astype(np.float32)
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (4.0 + k))
+    scene = np.vstack(pts).astype(np.float32)
+
+    S = 16
+    step_xi = jnp.asarray(np.array([0.04, 0.02, 0.01, 0.004, 0.002, 0.01], np.float32))
+    T_step = np.asarray(se3.vec2tran(step_xi))
+    tmpdir = tempfile.mkdtemp(prefix="dicp_bench_")
+    T = np.eye(4, dtype=np.float32)
+    for i in range(S):
+        Ti = np.linalg.inv(T).astype(np.float32)
+        scan = scene @ Ti[:3, :3].T + Ti[:3, 3]
+        save_bin(os.path.join(tmpdir, f"{i:04d}.bin"),
+                 np.hstack([scan, np.zeros((scan.shape[0], 1), np.float32)]))
+        T = T @ T_step
+
+    max_pts = 4096
+    cfg = ICPConfig(icp_type="pt2pt", differentiable=False, max_iterations=30,
+                    tolerance=1e-5, dim=3, trim_dist=1.0,
+                    loss_name="huber", loss_metric=0.5)
+
+    def run_pipeline():
+        ds = ScanDataset.from_dir(tmpdir, max_points=max_pts, voxel=0.4,
+                                  workers=4, prefetch=4)
+        prev = None
+        rels = []
+        for pts_np, w_np in ds:
+            cur = jnp.asarray(pts_np[:, :3])
+            w = jnp.asarray(w_np)
+            if prev is not None:
+                res = register_jit(cur[None], prev[0][None],
+                                   jnp.eye(4, dtype=jnp.float32)[None],
+                                   w[None], cfg=cfg)
+                rels.append(res.T[0])
+            prev = (cur, w)
+        return jnp.stack(rels)
+
+    rels = run_pipeline()  # compile + warm cache
+    _block(rels)
+    t0 = time.time()
+    rels = run_pipeline()
+    _block(rels)
+    dt = time.time() - t0
+    step_inv = jnp.broadcast_to(se3.tran_inv(jnp.asarray(T_step)), rels.shape)
+    err = float(jnp.max(jnp.linalg.norm(
+        jax.vmap(se3.tran2vec)(jax.vmap(se3.compose)(rels, step_inv)), axis=-1)))
+    _emit("pipeline_stream", S / dt, "frames/s", rel_err=err, scans=S,
+          raw_pts=n_raw, voxel_pts=max_pts)
+
+
 ALL = {
     "svd_pair": bench_svd_pair,
     "pt2pl_pair": bench_pt2pl_pair,
     "batch256": bench_batch256,
     "large_cloud": bench_large_cloud,
     "odometry": bench_odometry,
+    "pipeline": bench_pipeline,
 }
 
 

@@ -3,6 +3,8 @@ from dicp_tpu.parallel.sharding import (
     shard_batch,
     register_batch_sharded,
     register_map_sharded,
+    register_ring_sharded,
+    ring_nn,
     MapShardedResult,
 )
 from dicp_tpu.parallel.pose_graph import (
@@ -15,6 +17,8 @@ __all__ = [
     "shard_batch",
     "register_batch_sharded",
     "register_map_sharded",
+    "register_ring_sharded",
+    "ring_nn",
     "MapShardedResult",
     "partition_graph",
     "pose_graph_optimize_partitioned",

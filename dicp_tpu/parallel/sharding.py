@@ -89,12 +89,56 @@ class MapShardedResult(NamedTuple):
     cost: jnp.ndarray        # () final weighted squared cost
 
 
-def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init):
+def ring_nn(x: jnp.ndarray, y_shard: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """1-NN of local queries against a RING-SHARDED target.
+
+    x (n_loc, 3) queries resident on this device; y_shard (m_loc, c) this
+    device's shard of the target map.  The shards rotate around the mesh
+    axis with ``lax.ppermute`` (K steps on a K-device ring); each step folds
+    the visiting shard into a running (best-distance, best-row) accumulator.
+    This is the point-cloud analogue of ring attention (SURVEY.md §5): the
+    full map never needs to fit on one chip, and the per-step transfer
+    (m_loc * c floats, neighbor-to-neighbor) rides the ICI ring while the
+    (n_loc, m_loc) distance tile is computed.
+
+    Ties across shards resolve by ring order (this device's own shard
+    first), not by global index — immaterial for real data.
+    """
+    k_dev = lax.axis_size(axis)
+    n_loc = x.shape[0]
+    perm = [(i, (i + 1) % k_dev) for i in range(k_dev)]
+
+    def step(carry, _):
+        y_cur, best_d, best_row = carry
+        d2 = knn.pairwise_sq_dist(x, y_cur[:, :3])
+        idx = jnp.argmin(d2, axis=-1)
+        dmin = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+        rows = jnp.take(y_cur, idx, axis=0)
+        better = dmin < best_d
+        best_d = jnp.where(better, dmin, best_d)
+        best_row = jnp.where(better[:, None], rows, best_row)
+        y_next = lax.ppermute(y_cur, axis, perm)
+        return (y_next, best_d, best_row), None
+
+    # pcast: the freshly-created accumulators are device-varying from the
+    # first iteration (shard_map tracks varying manual axes through scan)
+    init = (y_shard,
+            lax.pcast(jnp.full((n_loc,), jnp.inf, x.dtype), (axis,), to="varying"),
+            lax.pcast(jnp.zeros((n_loc, y_shard.shape[1]), y_shard.dtype),
+                      (axis,), to="varying"))
+    (_, _, best_row), _ = lax.scan(step, init, None, length=k_dev)
+    return best_row
+
+
+def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init,
+                      target_sharded: bool = False):
     """Per-device body under shard_map: source points sharded over 'map'.
 
     Runs the full Gauss-Newton iteration with the only cross-device traffic
     being psum of the normal-equation blocks (and cheap scalar psums for the
-    cost/convergence bookkeeping).
+    cost/convergence bookkeeping).  With ``target_sharded`` the target map is
+    sharded too and correspondences come from :func:`ring_nn` (adds the ring
+    ppermute traffic, removes the replicated-map memory requirement).
     """
     dtype = source_shard.dtype
     C0 = T_init[:3, :3]
@@ -107,12 +151,15 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
 
     def gn_iteration(C, r):
         ps_t = source_shard @ C.T + r
-        if use_pallas:
+        if target_sharded:
+            nn6 = ring_nn(ps_t, target, "map")
+        elif use_pallas:
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
             idx = nn_indices_pallas(ps_t, tgt_pts)
+            nn6 = jnp.take(target, idx, axis=0)
         else:
             idx = knn.nn_indices(ps_t, tgt_pts)
-        nn6 = jnp.take(target, idx, axis=0)
+            nn6 = jnp.take(target, idx, axis=0)
         nn_err = ps_t - nn6[:, :3]
 
         w = weight_shard
@@ -242,5 +289,57 @@ def register_map_sharded(
         ),
         static_argnums=(),
     )
+    T, done, it, cost = fn(source[:, :3], weight, target, T_init)
+    return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
+
+
+def register_ring_sharded(
+    mesh: Mesh,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: Optional[jnp.ndarray] = None,
+    weight: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+    axis: str = "map",
+) -> MapShardedResult:
+    """Register one large scan against a map TOO LARGE TO REPLICATE.
+
+    Both the source points and the target map are sharded over the ``axis``
+    mesh axis; correspondences come from :func:`ring_nn` (ppermute ring over
+    the target shards), the normal equations from the same psum reduction as
+    :func:`register_map_sharded`.  Per-device memory is O(n/K + m/K) instead
+    of O(n/K + m).
+
+    Target padding uses a far-away sentinel row (coordinates 1e15) so padded
+    rows can never win a distance comparison — the ring accumulator keeps
+    them out without masks.
+    """
+    n, m = source.shape[0], target.shape[0]
+    n_dev = mesh.shape[axis]
+    dtype = source.dtype
+    if T_init is None:
+        T_init = jnp.eye(4, dtype=dtype)
+    if weight is None:
+        weight = jnp.ones((n,), dtype=dtype)
+    pad_n = (-n) % n_dev
+    if pad_n:
+        source = jnp.concatenate([source, jnp.zeros((pad_n, 3), dtype=dtype)])
+        weight = jnp.concatenate([weight, jnp.zeros((pad_n,), dtype=dtype)])
+    pad_m = (-m) % n_dev
+    if pad_m:
+        sentinel = jnp.full((pad_m, target.shape[1]), 0.0, dtype=dtype)
+        sentinel = sentinel.at[:, :3].set(1e15)
+        target = jnp.concatenate([target, sentinel])
+
+    def body(src_s, w_s, tgt_s, t_init):
+        with jax.default_matmul_precision("float32"):
+            return _map_sharded_body(cfg, src_s, w_s, tgt_s, t_init,
+                                     target_sharded=True)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
+    ))
     T, done, it, cost = fn(source[:, :3], weight, target, T_init)
     return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
