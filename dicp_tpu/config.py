@@ -71,8 +71,10 @@ class ICPConfig:
             raise ValueError(f"icp_type must be 'pt2pt' or 'pt2pl', got {self.icp_type}")
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")  # dICP/ICP.py:79
-        if self.loss_name is not None and self.loss_name not in ("huber", "cauchy"):
-            raise ValueError(f"loss_name must be 'huber' or 'cauchy', got {self.loss_name}")
+        if self.loss_name is not None and self.loss_name not in (
+                "huber", "cauchy", "welsch", "gm"):
+            raise ValueError(
+                f"loss_name must be huber|cauchy|welsch|gm, got {self.loss_name}")
         if self.driver not in ("auto", "scan", "while"):
             raise ValueError(f"driver must be auto|scan|while, got {self.driver}")
         if self.solve_method not in ("closed", "lu"):

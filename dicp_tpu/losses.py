@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-VALID_LOSSES = ("huber", "cauchy", "trim")
+VALID_LOSSES = ("huber", "cauchy", "welsch", "gm", "trim")
 
 
 def _err_norm(err: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +54,29 @@ def cauchy_weight(err: jnp.ndarray, metric: float, differentiable: bool = True) 
     return 1.0 / (1.0 + jnp.sum(err * err, axis=-1) / (metric * metric))
 
 
+def welsch_weight(err: jnp.ndarray, metric: float, differentiable: bool = True) -> jnp.ndarray:
+    """Welsch/Leclerc IRLS weight exp(-|e|^2 / k^2).
+
+    No reference counterpart; the redescending kernel used by
+    Fast-and-Robust ICP (Zhang et al. 2021, arXiv:2007.07627) — rejects
+    gross outliers completely (weight -> 0 exponentially) while staying
+    smooth everywhere.  Same expression in both modes.
+    """
+    del differentiable
+    return jnp.exp(-jnp.sum(err * err, axis=-1) / (metric * metric))
+
+
+def gm_weight(err: jnp.ndarray, metric: float, differentiable: bool = True) -> jnp.ndarray:
+    """Geman-McClure IRLS weight k^4/(k^2 + |e|^2)^2 (redescending; smooth).
+
+    No reference counterpart; standard in LiDAR bundle adjustment.
+    """
+    del differentiable
+    m2 = metric * metric
+    d = m2 + jnp.sum(err * err, axis=-1)
+    return (m2 / d) ** 2
+
+
 def trim_weight(
     err: jnp.ndarray,
     metric: float,
@@ -84,6 +107,10 @@ def robust_weight(
         return huber_weight(err, metric, differentiable)
     if name == "cauchy":
         return cauchy_weight(err, metric, differentiable)
+    if name == "welsch":
+        return welsch_weight(err, metric, differentiable)
+    if name == "gm":
+        return gm_weight(err, metric, differentiable)
     if name == "trim":
         return trim_weight(err, metric, differentiable, tanh_steepness)
     raise ValueError(f"Invalid loss name: {name}")

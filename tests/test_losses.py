@@ -80,3 +80,44 @@ def test_weights_differentiable():
     ]:
         g = jax.grad(fn)(err)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_welsch_weight():
+    from dicp_tpu.losses import welsch_weight
+
+    err = jnp.array([[0.0, 0.0], [1.0, 0.0], [3.0, 4.0]])
+    w = welsch_weight(err, 2.0)
+    np.testing.assert_allclose(np.asarray(w),
+                               [1.0, np.exp(-0.25), np.exp(-25.0 / 4.0)],
+                               rtol=1e-6)
+    g = jax.grad(lambda e: jnp.sum(welsch_weight(e, 2.0)))(err)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_gm_weight():
+    from dicp_tpu.losses import gm_weight
+
+    err = jnp.array([[0.0], [2.0]])
+    w = gm_weight(err, 2.0)
+    np.testing.assert_allclose(np.asarray(w), [1.0, 0.25], rtol=1e-6)
+    g = jax.grad(lambda e: jnp.sum(gm_weight(e, 2.0)))(err)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_redescending_losses_solve(source_np, target_np):
+    """welsch/gm kernels drive the full solver to the reference transform."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    t_true = se3.tran_inv(se3.vec2tran(jnp.array([1.0, 1.0, 0, 0, 0, 0.1])))
+    for name in ("welsch", "gm"):
+        cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                        tolerance=1e-12, dim=2, trim_dist=5.0,
+                        loss_name=name, loss_metric=10.0)
+        res = register_jit(jnp.asarray(source_np[None, :, :3]),
+                           jnp.asarray(target_np[None]),
+                           jnp.eye(4, dtype=jnp.float64)[None], None, cfg=cfg)
+        err = float(jnp.linalg.norm(se3.tran2vec(
+            se3.compose(t_true, se3.tran_inv(res.T[0])))))
+        assert err < 1e-9, f"{name}: err {err}"
