@@ -41,7 +41,7 @@ class ICPConfig:
     # per-call options in the reference icp() signature (dICP/ICP.py:46)
     dim: int = 3
     trim_dist: Optional[float] = None
-    loss_name: Optional[str] = None  # 'huber' | 'cauchy'
+    loss_name: Optional[str] = None  # one of losses.VALID_LOSSES
     loss_metric: float = 1.0
 
     # YAML-sourced parameters (config/dICP_config.yaml)
@@ -71,10 +71,14 @@ class ICPConfig:
             raise ValueError(f"icp_type must be 'pt2pt' or 'pt2pl', got {self.icp_type}")
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")  # dICP/ICP.py:79
-        if self.loss_name is not None and self.loss_name not in (
-                "huber", "cauchy", "welsch", "gm"):
-            raise ValueError(
-                f"loss_name must be huber|cauchy|welsch|gm, got {self.loss_name}")
+        if self.loss_name is not None:
+            from dicp_tpu.losses import VALID_LOSSES
+
+            # single source of truth; 'trim' is valid here too (the reference
+            # dispatches loss_fn={'name': 'trim'} the same way, dICP/loss.py:16)
+            if self.loss_name not in VALID_LOSSES:
+                raise ValueError(f"loss_name must be one of {VALID_LOSSES}, "
+                                 f"got {self.loss_name}")
         if self.driver not in ("auto", "scan", "while"):
             raise ValueError(f"driver must be auto|scan|while, got {self.driver}")
         if self.solve_method not in ("closed", "lu"):

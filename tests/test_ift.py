@@ -25,6 +25,10 @@ def _cfg(**kw):
     ("pt2pl", "cauchy", 0.5),
     ("pt2pt", "huber", 1.0),
     ("pt2pl", None, 1.0),
+    # redescending kernels: dw/de changes sign, exercising the exact
+    # (non-Gauss-Newton) linearization in _stationarity_weighted
+    ("pt2pl", "welsch", 10.0),
+    ("pt2pl", "gm", 10.0),
 ])
 def test_ift_matches_unrolled(source_np, target_np, icp_type, loss_name, loss_metric):
     cfg = _cfg(icp_type=icp_type, loss_name=loss_name, loss_metric=loss_metric)
