@@ -30,3 +30,16 @@ def test_checkpoint_roundtrip(tmp_path):
     state2 = load_odometry_state(path)
     assert state2["poses"].shape == (2, 4, 4)
     assert "step" not in state2
+
+
+def test_visualization_saves(tmp_path, source_np, target_np):
+    from dicp_tpu.visualization import plot_map, plot_overlay
+
+    p1 = os.path.join(tmp_path, "overlay.png")
+    plot_overlay(jnp.asarray(source_np[:, :3]), jnp.asarray(target_np[:, :3]),
+                 file_name=p1)
+    assert os.path.getsize(p1) > 0
+
+    p2 = os.path.join(tmp_path, "map.png")
+    plot_map(source_np[:, :3], file_name=p2)
+    assert os.path.getsize(p2) > 0
