@@ -131,8 +131,14 @@ def _fp_bwd(cfg, saved, T_bar):
     # Damp like the solver (dICP/ICP.py:200): on gauge-degenerate problems
     # (e.g. planar data solved in 3-D) dG/dxi is singular; damping keeps the
     # adjoint solve finite (null-direction gradients are meaningless anyway).
-    lam = cfg.tikhonov if cfg.tikhonov is not None else (
-        1e-12 if dtype == jnp.float64 else 1e-6)
+    # Relative to the diagonal magnitude, matching registration._damping
+    # (dG/dxi need not have a positive diagonal -> abs).
+    if cfg.tikhonov is not None:
+        lam = jnp.asarray(cfg.tikhonov, dtype)
+    else:
+        rel = 1e-12 if dtype == jnp.float64 else 1e-6
+        dmax = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
+        lam = (rel * jnp.maximum(dmax, 1.0))[..., None, None]
     A = A + lam * jnp.eye(k, dtype=dtype)
 
     # cotangent on xi from the cotangent on T via the retraction map

@@ -43,7 +43,11 @@ def preprocess_scan(
         w = np.ones((pts.shape[0],), np.float32)
     n, c = pts.shape
     if n >= max_points:
-        return pts[:max_points], w[:max_points]
+        # even index-stride subsample, NOT head truncation: scan files are
+        # often ordered by beam/surface, so the head is one region of the
+        # scene and registering it is a degenerate (unobservable) problem
+        idx = np.linspace(0, n - 1, max_points).astype(np.int64)
+        return pts[idx], w[idx]
     out = np.zeros((max_points, c), np.float32)
     ow = np.zeros((max_points,), np.float32)
     out[:n] = pts

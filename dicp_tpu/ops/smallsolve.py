@@ -89,10 +89,21 @@ def solve_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Dispatch on the (static) system size; fall back to LU otherwise.
 
     b is (..., k); returns (..., k).
+
+    Jacobi (diagonal) equilibration is applied first: ICP normal equations
+    mix a rotation block scaling with (point radius)^2 and a translation
+    block scaling with 1 — a 1e4+ scale disparity that makes the f32 Schur
+    complement cancel catastrophically (observed: det -> 0 -> NaN on real
+    scan pairs; LU with pivoting survived the same systems).  Scaling by
+    D = diag(A)^{-1/2} gives unit diagonal — SPD-ness is preserved and the
+    block condition numbers collapse to O(1).
     """
     k = a.shape[-1]
-    if k == 3:
-        return solve3(a, b)
-    if k == 6:
-        return solve6_spd(a, b)
-    return jnp.linalg.solve(a, b[..., None])[..., 0]
+    if k not in (3, 6):
+        return jnp.linalg.solve(a, b[..., None])[..., 0]
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(a, axis1=-2, axis2=-1), 1e-30, None))
+    dinv = 1.0 / d
+    a_eq = a * dinv[..., :, None] * dinv[..., None, :]
+    b_eq = b * dinv
+    y = solve3(a_eq, b_eq) if k == 3 else solve6_spd(a_eq, b_eq)
+    return y * dinv

@@ -140,11 +140,11 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     sharded too and correspondences come from :func:`ring_nn` (adds the ring
     ppermute traffic, removes the replicated-map memory requirement).
     """
+    from dicp_tpu.registration import _damping
+
     dtype = source_shard.dtype
     C0 = T_init[:3, :3]
     r0 = T_init[:3, 3]
-    lam = cfg.tikhonov if cfg.tikhonov is not None else (
-        1e-12 if dtype == jnp.float64 else 1e-6)
 
     tgt_pts = target[:, :3]
     use_pallas = bool(cfg.use_pallas_nn)
@@ -197,7 +197,8 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         A_local = J.T @ Jw                       # (k, k)
         b_local = J.T @ (w * res)                # (k,)
         cost_local = jnp.sum(w * res * res)
-        A = lax.psum(A_local, "map") + lam * jnp.eye(k, dtype=dtype)
+        A = lax.psum(A_local, "map")
+        A = A + _damping(cfg, A) * jnp.eye(k, dtype=dtype)
         b = lax.psum(b_local, "map")
         cost = lax.psum(cost_local, "map")
         from dicp_tpu.ops.smallsolve import solve_spd

@@ -58,12 +58,24 @@ class ICPResult(NamedTuple):
     matched_ratio: jnp.ndarray # (N,) float
 
 
-def _tikhonov(cfg: ICPConfig, dtype) -> float:
+def _damping(cfg: ICPConfig, A: jnp.ndarray) -> jnp.ndarray:
+    """Per-element Tikhonov damping for the normal equations A (N, k, k).
+
+    ``cfg.tikhonov`` set -> absolute, like the reference's 1e-12
+    (dICP/ICP.py:200).  Auto (None) -> RELATIVE to the largest diagonal
+    entry (Levenberg-Marquardt style): real scan pairs produce diagonals
+    spanning 1e6 (rotation, ~radius^2 * n) down to <1 (weakly-observed
+    translation), where any absolute lambda is simultaneously too small for
+    f32 stability and too large for the small block.  Damping never moves
+    the fixed point (the Gauss-Newton update is zero at a stationary point
+    regardless of lambda), it only shortens steps in ill-observed
+    directions, so reference-accuracy contracts are unaffected.
+    """
     if cfg.tikhonov is not None:
-        return cfg.tikhonov
-    # The reference hardcodes 1e-12 (dICP/ICP.py:200); that is fine in f64
-    # but vanishes against f32 rounding of J^T W J, so damp more there.
-    return 1e-12 if dtype == jnp.float64 else 1e-6
+        return jnp.asarray(cfg.tikhonov, A.dtype)
+    rel = 1e-12 if A.dtype == jnp.float64 else 1e-6
+    dmax = jnp.max(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    return (rel * jnp.maximum(dmax, 1.0))[..., None, None]
 
 
 def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
@@ -173,7 +185,8 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
     res_w = w_sqrt * res                                 # (N, P)
     J_w = w_sqrt[..., None] * J                          # (N, P, k)
 
-    A = jnp.einsum("npi,npj->nij", J_w, J_w) + _tikhonov(cfg, dtype) * jnp.eye(k, dtype=dtype)
+    A = jnp.einsum("npi,npj->nij", J_w, J_w)
+    A = A + _damping(cfg, A) * jnp.eye(k, dtype=dtype)
     b = jnp.einsum("npi,np->ni", J_w, res_w)
     if cfg.solve_method == "closed":
         # A is SPD (J^T W J + lambda I): pivot-free closed-form solve fuses to

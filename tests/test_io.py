@@ -108,3 +108,15 @@ def test_dataset_feeds_solver(tmp_path, target_np, source_np):
                        jnp.eye(4, dtype=jnp.float64)[None],
                        jnp.asarray(w[None], jnp.float64), cfg=cfg)
     assert bool(res.converged[0])
+
+
+def test_preprocess_subsamples_evenly():
+    """Oversized scans are stride-subsampled, not head-truncated (ordered
+    scan files would otherwise reduce to one region of the scene)."""
+    pts = np.zeros((1000, 3), np.float32)
+    pts[:, 0] = np.arange(1000)  # ordered along x
+    out, w = preprocess_scan(pts, max_points=100)
+    assert out.shape == (100, 3)
+    # spread across the whole range, not the first 100 indices
+    assert out[:, 0].max() > 900 and out[:, 0].min() < 100
+    assert np.all(w == 1.0)

@@ -74,3 +74,24 @@ def test_solver_end_to_end_closed_vs_lu(test_pair):
     t_closed = register_jit(src, tgt, ti, None, cfg=base.with_(solve_method="closed")).T
     t_lu = register_jit(src, tgt, ti, None, cfg=base.with_(solve_method="lu")).T
     np.testing.assert_allclose(np.asarray(t_closed), np.asarray(t_lu), atol=1e-7)
+
+
+def test_scale_disparate_blocks_f32():
+    """Regression: real scan-pair normal equations have a rotation block
+    scaling with (point radius)^2 * n and a translation block with n — a
+    ~1e4 scale disparity that made the unequilibrated f32 Schur complement
+    cancel to det=0 -> NaN (LU survived the same systems)."""
+    rng = np.random.default_rng(5)
+    n = 8192
+    pts = rng.uniform(-28, 28, size=(n, 3)).astype(np.float32)
+    nrm = np.eye(3, dtype=np.float32)[rng.integers(0, 3, size=n)]
+    J = np.concatenate([np.cross(nrm, pts), -nrm], axis=-1).astype(np.float32)
+    a = jnp.asarray((np.einsum("pi,pj->ij", J, J) + 1e-6 * np.eye(6))[None]
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 6)).astype(np.float32) * n)
+    x = solve_spd(a, b)
+    assert np.all(np.isfinite(np.asarray(x))), "closed-form solve NaN'd"
+    x_ref = np.linalg.solve(np.asarray(a, np.float64),
+                            np.asarray(b, np.float64)[..., None])[..., 0]
+    rel = np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-3, f"relative error {rel}"
