@@ -27,16 +27,25 @@ BASELINE_REG_PER_S = 1293.0  # BASELINE.md: pt2pl diff B=256 fwd+bwd, 1 CPU core
 
 
 def _timeit(step, arg, n=20, reps=3):
-    """Best-of-`reps` mean over `n` dispatches (damps tunnel jitter)."""
+    """Best-of-`reps` mean over `n` dispatches (damps tunnel jitter).
+
+    Every call gets a distinct input (+k*1e-7, far below the solve
+    tolerance): the axon remote-execution layer deduplicates identical
+    in-flight dispatches, so repeating the same computation measures the
+    cache, not the chip.
+    """
     import jax
+    import jax.numpy as jnp
 
     out = step(arg)
     jax.block_until_ready(out)
     best = float("inf")
+    k = 1
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
-            out = step(arg)
+            out = step(arg + jnp.float32(k) * 1e-7)
+            k += 1
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / n)
     return best

@@ -26,16 +26,31 @@ def _pair(dtype=np.float32):
 
 
 def _time(fn, n=10, reps=3):
-    """Best-of-`reps` mean over `n` dispatches (damps axon tunnel jitter)."""
-    _block(fn())  # compile
+    """Best-of-`reps` mean over `n` dispatches (damps axon tunnel jitter).
+
+    ``fn`` receives a distinct integer every call and MUST vary its device
+    inputs with it: the axon remote-execution layer deduplicates identical
+    in-flight dispatches, so timing the same computation repeatedly reports
+    fantasy numbers (observed: a 61 ms kernel "measured" at 0.3 ms).
+    """
+    _block(fn(0))  # compile
     best = float("inf")
+    k = 1
     for _ in range(reps):
         t0 = time.time()
         for _ in range(n):
-            out = fn()
+            out = fn(k)
+            k += 1
         _block(out)
         best = min(best, (time.time() - t0) / n)
     return best
+
+
+def _shift(x, k):
+    """Tiny per-call input perturbation (defeats execution dedup; 1e-7 is
+    far below every tolerance/metric in this suite)."""
+    import jax.numpy as jnp
+    return x + jnp.float32(k) * 1e-7
 
 
 def _block(out):
@@ -60,9 +75,9 @@ def bench_svd_pair():
     src = jnp.asarray(scan[:, :3])
     tgt = jnp.asarray(mp[:, :3])
 
-    def run():
-        return pt2pt_svd_icp(src, tgt, max_iterations=60, tolerance=1e-9,
-                             differentiable=False)
+    def run(k=0):
+        return pt2pt_svd_icp(_shift(src, k), tgt, max_iterations=60,
+                             tolerance=1e-9, differentiable=False)
 
     dt = _time(run)
     res = run()
@@ -89,8 +104,8 @@ def bench_pt2pl_pair():
                     tolerance=1e-6, dim=2, trim_dist=5.0,
                     loss_name="huber", loss_metric=1.0)
 
-    def run():
-        return register_jit(src, tgt, ti, None, cfg=cfg)
+    def run(k=0):
+        return register_jit(_shift(src, k), tgt, ti, None, cfg=cfg)
 
     dt = _time(run)
     res = run()
@@ -119,7 +134,7 @@ def bench_batch256():
                     loss_name="huber", loss_metric=1.0)
     step = jax.jit(jax.value_and_grad(lambda s: jnp.sum(register(s, tgt, ti, None, cfg).T)))
 
-    dt = _time(lambda: step(src))
+    dt = _time(lambda k: step(_shift(src, k)))
     _emit("batch256_fwdbwd", B / dt, "registrations/s",
           vs_cpu_baseline=round(B / dt / 1293.0, 2))
 
@@ -127,7 +142,7 @@ def bench_batch256():
     from dicp_tpu.ift import register_ift
     step_ift = jax.jit(jax.value_and_grad(
         lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg.with_(tolerance=1e-6)).T)))
-    dt_ift = _time(lambda: step_ift(src))
+    dt_ift = _time(lambda k: step_ift(_shift(src, k)))
     _emit("batch256_fwdbwd_ift", B / dt_ift, "registrations/s",
           vs_cpu_baseline=round(B / dt_ift / 1293.0, 2))
 
@@ -159,7 +174,7 @@ def bench_large_cloud():
     source = target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3]
 
     # kNN kernel timing
-    dt_knn = _time(lambda: nn_indices_pallas(source, target[:, :3]))
+    dt_knn = _time(lambda k: nn_indices_pallas(_shift(source, k), target[:, :3]))
     _emit("pallas_knn_100k", dt_knn * 1e3, "ms", pairs=n * n)
 
     # voxel + registration end to end
@@ -167,8 +182,8 @@ def bench_large_cloud():
                     tolerance=1e-5, dim=3, trim_dist=2.0,
                     loss_name="huber", loss_metric=1.0, use_pallas_nn=True)
 
-    def run():
-        v = voxel_downsample(source, 0.5)
+    def run(k=0):
+        v = voxel_downsample(_shift(source, k), 0.5)
         return register_jit(v.points[None], target[None],
                             jnp.eye(4, dtype=jnp.float32)[None],
                             v.weight[None], cfg=cfg)
@@ -208,8 +223,8 @@ def bench_odometry():
                     tolerance=1e-6, dim=2, trim_dist=5.0,
                     loss_name="huber", loss_metric=1.0)
 
-    def run():
-        return odometry(scans_j, cfg)
+    def run(k=0):
+        return odometry(_shift(scans_j, k), cfg)
 
     dt = _time(run, n=5)
     res = run()
@@ -217,6 +232,31 @@ def bench_odometry():
     err = float(ate(res.poses, poses_true, align=False))
     _emit("odometry_64scans", (S - 1) / dt, "pairs/s", ate=err,
           all_converged=bool(jnp.all(res.converged)))
+
+
+def bench_capacity():
+    """Chip-capacity probe: the headline config at B=4096 (the B=256 point is
+    dispatch/latency-bound; this measures sustained registrations/s when the
+    batch amortizes per-step overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ift import register_ift
+
+    scan, mp = _pair()
+    B = 4096
+    src = jnp.asarray(np.broadcast_to(scan[None, :, :3], (B, scan.shape[0], 3)))
+    tgt = jnp.asarray(np.broadcast_to(mp[None], (B,) + mp.shape))
+    ti = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+    step = jax.jit(jax.value_and_grad(
+        lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg).T)))
+    dt = _time(lambda k: step(_shift(src, k)), n=5)
+    _emit("batch4096_fwdbwd_ift", B / dt, "registrations/s",
+          vs_cpu_baseline=round(B / dt / 1293.0, 2))
 
 
 def bench_pipeline():
@@ -262,13 +302,15 @@ def bench_pipeline():
                     tolerance=1e-5, dim=3, trim_dist=1.0,
                     loss_name="huber", loss_metric=0.5)
 
-    def run_pipeline():
+    def run_pipeline(shift=0.0):
         ds = ScanDataset.from_dir(tmpdir, max_points=max_pts, voxel=0.4,
                                   workers=4, prefetch=4)
         prev = None
         rels = []
         for pts_np, w_np in ds:
-            cur = jnp.asarray(pts_np[:, :3])
+            # distinct inputs per run: the axon layer dedups identical
+            # dispatches (see _time)
+            cur = jnp.asarray(pts_np[:, :3]) + jnp.float32(shift)
             w = jnp.asarray(w_np)
             if prev is not None:
                 res = register_jit(cur[None], prev[0][None],
@@ -281,7 +323,7 @@ def bench_pipeline():
     rels = run_pipeline()  # compile + warm cache
     _block(rels)
     t0 = time.time()
-    rels = run_pipeline()
+    rels = run_pipeline(1e-7)
     _block(rels)
     dt = time.time() - t0
     step_inv = jnp.broadcast_to(se3.tran_inv(jnp.asarray(T_step)), rels.shape)
@@ -297,6 +339,7 @@ ALL = {
     "batch256": bench_batch256,
     "large_cloud": bench_large_cloud,
     "odometry": bench_odometry,
+    "capacity": bench_capacity,
     "pipeline": bench_pipeline,
 }
 
