@@ -1,11 +1,20 @@
-"""Extended benchmark suite: the five BASELINE.json configurations.
+"""Extended benchmark suite: the BASELINE.json configurations.
 
 Each benchmark prints one JSON line {name, value, unit, detail}.  Run on the
 default backend (TPU under axon; CPU with JAX_PLATFORMS=cpu).  The driver's
 headline number stays in the repo-root bench.py (config #3).
 
+MEASUREMENT METHODOLOGY: the remote-attached runtime acknowledges dispatches
+without awaiting device completion (and may deduplicate identical ones), so
+wall-clock around async dispatches measures the client, not the chip.  Every
+device-bound benchmark here therefore runs K workload steps CHAINED inside
+one jitted ``lax.scan`` (step k's input depends on step k-1's outputs) ending
+in a host fetch, and differences two chain lengths to cancel fixed overhead.
+See bench.py for the calibration (a chained 8192^3 matmul measures 116 TF/s
+= 59% of the v5e bf16 peak — physically sane).
+
 Usage: python benchmarks/bench_suite.py [name ...]
-Names: svd_pair, pt2pl_pair, batch256, large_cloud, odometry
+Names: svd_pair, pt2pl_pair, batch256, large_cloud, odometry, capacity, pipeline
 """
 
 import json
@@ -25,38 +34,39 @@ def _pair(dtype=np.float32):
             np.load(os.path.join(base, "points_map.npy")).astype(dtype))
 
 
-def _time(fn, n=10, reps=3):
-    """Best-of-`reps` mean over `n` dispatches (damps axon tunnel jitter).
+def _chained_rate(make_step, src, *consts, k_small=4, k_big=16, reps=3):
+    """Seconds per step, overhead-differenced (see module docstring).
 
-    ``fn`` receives a distinct integer every call and MUST vary its device
-    inputs with it: the axon remote-execution layer deduplicates identical
-    in-flight dispatches, so timing the same computation repeatedly reports
-    fantasy numbers (observed: a 61 ms kernel "measured" at 0.3 ms).
+    make_step(src_shifted, *consts) -> scalar depending on ALL of the step's
+    outputs.  ``consts`` are passed as jit ARGUMENTS, not closure constants —
+    closure-captured concrete arrays make the remote compiler pathologically
+    slow (see .claude/skills/verify/SKILL.md).
     """
-    _block(fn(0))  # compile
-    best = float("inf")
-    k = 1
-    for _ in range(reps):
-        t0 = time.time()
-        for _ in range(n):
-            out = fn(k)
-            k += 1
-        _block(out)
-        best = min(best, (time.time() - t0) / n)
-    return best
-
-
-def _shift(x, k):
-    """Tiny per-call input perturbation (defeats execution dedup; 1e-7 is
-    far below every tolerance/metric in this suite)."""
-    import jax.numpy as jnp
-    return x + jnp.float32(k) * 1e-7
-
-
-def _block(out):
     import jax
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+    import jax.numpy as jnp
+    from jax import lax
+
+    def chain(K):
+        @jax.jit
+        def f(src, *consts):
+            def body(carry, k):
+                s = src + (carry * 1e-12 + k.astype(jnp.float32) * 1e-7)
+                return make_step(s, *consts), ()
+            c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(K))
+            return c
+        return f
+
+    times = {}
+    for K in (k_small, k_big):
+        f = chain(K)
+        float(f(src, *consts))  # compile + throwaway fetch
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(src, *consts))  # host fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+    return (times[k_big] - times[k_small]) / (k_big - k_small)
 
 
 def _emit(name, value, unit, **detail):
@@ -75,13 +85,14 @@ def bench_svd_pair():
     src = jnp.asarray(scan[:, :3])
     tgt = jnp.asarray(mp[:, :3])
 
-    def run(k=0):
-        return pt2pt_svd_icp(_shift(src, k), tgt, max_iterations=60,
-                             tolerance=1e-9, differentiable=False)
+    def step(s, tgt):
+        res = pt2pt_svd_icp(s, tgt, max_iterations=60, tolerance=1e-9,
+                            differentiable=False)
+        return jnp.sum(res.T)
 
-    dt = _time(run)
-    res = run()
-    _block(res)
+    dt = _chained_rate(step, src, tgt)
+    res = pt2pt_svd_icp(src, tgt, max_iterations=60, tolerance=1e-9,
+                        differentiable=False)
     T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
     err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T)))))
     _emit("svd_pair", dt * 1e3, "ms/pair", transform_err=err,
@@ -94,7 +105,7 @@ def bench_pt2pl_pair():
 
     from dicp_tpu import se3
     from dicp_tpu.config import ICPConfig
-    from dicp_tpu.registration import register_jit
+    from dicp_tpu.registration import register, register_jit
 
     scan, mp = _pair()
     src = jnp.asarray(scan[None, :, :3])
@@ -104,16 +115,25 @@ def bench_pt2pl_pair():
                     tolerance=1e-6, dim=2, trim_dist=5.0,
                     loss_name="huber", loss_metric=1.0)
 
-    def run(k=0):
-        return register_jit(_shift(src, k), tgt, ti, None, cfg=cfg)
+    def step(s, tgt, ti):
+        return jnp.sum(register(s, tgt, ti, None, cfg).T)
 
-    dt = _time(run)
-    res = run()
-    _block(res)
+    dt = _chained_rate(step, src, tgt, ti)
+    res = register_jit(src, tgt, ti, None, cfg=cfg)
     T_true = se3.tran_inv(se3.vec2tran(jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
     err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T[0])))))
     _emit("pt2pl_pair", dt * 1e3, "ms/pair", transform_err=err,
           iterations=float(res.iterations[0]))
+
+
+def _batch_inputs(B):
+    import jax.numpy as jnp
+
+    scan, mp = _pair()
+    src = jnp.asarray(np.broadcast_to(scan[None, :, :3], (B, scan.shape[0], 3)).copy())
+    tgt = jnp.asarray(np.broadcast_to(mp[None], (B,) + mp.shape).copy())
+    ti = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy())
+    return src, tgt, ti
 
 
 def bench_batch256():
@@ -122,45 +142,60 @@ def bench_batch256():
     import jax.numpy as jnp
 
     from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ift import register_ift
     from dicp_tpu.registration import register
 
-    scan, mp = _pair()
     B = 256
-    src = jnp.asarray(np.stack([scan[:, :3]] * B))
-    tgt = jnp.asarray(np.stack([mp] * B))
-    ti = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    src, tgt, ti = _batch_inputs(B)
     cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
                     tolerance=1e-6, dim=2, trim_dist=5.0,
                     loss_name="huber", loss_metric=1.0)
-    step = jax.jit(jax.value_and_grad(lambda s: jnp.sum(register(s, tgt, ti, None, cfg).T)))
 
-    dt = _time(lambda k: step(_shift(src, k)))
+    def unrolled_step(s, tgt, ti):
+        val, grad = jax.value_and_grad(
+            lambda x: jnp.sum(register(x, tgt, ti, None, cfg).T))(s)
+        return val + jnp.sum(grad) * 1e-20
+
+    dt = _chained_rate(unrolled_step, src, tgt, ti, k_small=2, k_big=8)
     _emit("batch256_fwdbwd", B / dt, "registrations/s",
           vs_cpu_baseline=round(B / dt / 1293.0, 2))
 
-    # IFT gradient path on the same workload
-    from dicp_tpu.ift import register_ift
-    step_ift = jax.jit(jax.value_and_grad(
-        lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg.with_(tolerance=1e-6)).T)))
-    dt_ift = _time(lambda k: step_ift(_shift(src, k)))
+    def ift_step(s, tgt, ti):
+        val, grad = jax.value_and_grad(
+            lambda x: jnp.sum(register_ift(x, tgt, ti, None, cfg).T))(s)
+        return val + jnp.sum(grad) * 1e-20
+
+    dt_ift = _chained_rate(ift_step, src, tgt, ti)
     _emit("batch256_fwdbwd_ift", B / dt_ift, "registrations/s",
           vs_cpu_baseline=round(B / dt_ift / 1293.0, 2))
 
 
-def bench_large_cloud():
-    """Config #4: 100k-point registration with Pallas kNN + voxel downsample."""
+def bench_capacity():
+    """Chip-capacity probe: the headline config at B=4096."""
     import jax
     import jax.numpy as jnp
 
-    from dicp_tpu import se3
     from dicp_tpu.config import ICPConfig
-    from dicp_tpu.ops.pallas_knn import nn_indices_pallas
-    from dicp_tpu.ops.voxel import voxel_downsample
-    from dicp_tpu.registration import register_jit
+    from dicp_tpu.ift import register_ift
 
+    B = 4096
+    src, tgt, ti = _batch_inputs(B)
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    def step(s, tgt, ti):
+        val, grad = jax.value_and_grad(
+            lambda x: jnp.sum(register_ift(x, tgt, ti, None, cfg).T))(s)
+        return val + jnp.sum(grad) * 1e-20
+
+    dt = _chained_rate(step, src, tgt, ti, k_small=2, k_big=8)
+    _emit("batch4096_fwdbwd_ift", B / dt, "registrations/s",
+          vs_cpu_baseline=round(B / dt / 1293.0, 2))
+
+
+def _make_scene(n=100_000):
     rng = np.random.default_rng(0)
-    n = 100_000
-    # synthetic 3-D scene: three noisy planes
     normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
     pts, nrm = [], []
     for k in range(3):
@@ -168,29 +203,46 @@ def bench_large_cloud():
         basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
         pts.append(uv @ basis + normals[k] * (2.0 + k))
         nrm.append(np.tile(normals[k], (n // 3 + 1, 1)))
-    target = jnp.asarray(np.hstack([np.vstack(pts)[:n], np.vstack(nrm)[:n]]).astype(np.float32))
+    return np.hstack([np.vstack(pts)[:n], np.vstack(nrm)[:n]]).astype(np.float32)
+
+
+def bench_large_cloud():
+    """Config #4: 100k-point registration with Pallas kNN + voxel downsample."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+    from dicp_tpu.ops.voxel import voxel_downsample
+    from dicp_tpu.registration import register, register_jit
+
+    n = 100_000
+    target = jnp.asarray(_make_scene(n))
     xi = jnp.asarray(np.array([0.2, -0.1, 0.05, 0.01, -0.02, 0.03], np.float32))
     T_st = se3.vec2tran(xi)
     source = target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3]
 
-    # kNN kernel timing
-    dt_knn = _time(lambda k: nn_indices_pallas(_shift(source, k), target[:, :3]))
+    # kNN kernel alone
+    def knn_step(s, tgt3):
+        return jnp.sum(nn_indices_pallas(s, tgt3).astype(jnp.float32)) * 1e-9
+
+    dt_knn = _chained_rate(knn_step, source, target[:, :3], k_small=2, k_big=6)
     _emit("pallas_knn_100k", dt_knn * 1e3, "ms", pairs=n * n)
 
-    # voxel + registration end to end
     cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
                     tolerance=1e-5, dim=3, trim_dist=2.0,
                     loss_name="huber", loss_metric=1.0, use_pallas_nn=True)
 
-    def run(k=0):
-        v = voxel_downsample(_shift(source, k), 0.5)
-        return register_jit(v.points[None], target[None],
-                            jnp.eye(4, dtype=jnp.float32)[None],
-                            v.weight[None], cfg=cfg)
+    def reg_step(s, tgt):
+        v = voxel_downsample(s, 0.5)
+        res = register(v.points[None], tgt[None],
+                       jnp.eye(4, dtype=jnp.float32)[None], v.weight[None], cfg)
+        return jnp.sum(res.T)
 
-    dt = _time(run, n=3)
-    res = run()
-    _block(res)
+    dt = _chained_rate(reg_step, source, target, k_small=1, k_big=4)
+    v = voxel_downsample(source, 0.5)
+    res = register_jit(v.points[None], target[None],
+                       jnp.eye(4, dtype=jnp.float32)[None], v.weight[None], cfg=cfg)
     T_true = se3.tran_inv(T_st)
     err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T[0])))))
     _emit("large_cloud_100k", dt * 1e3, "ms/registration", transform_err=err,
@@ -208,7 +260,7 @@ def bench_odometry():
     scan, mp = _pair(np.float32)
     S = 64
     step_xi = np.array([0.05, 0.08, 0, 0, 0, 0.02], np.float32)
-    step = np.asarray(se3.vec2tran(jnp.asarray(step_xi)))
+    step_T = np.asarray(se3.vec2tran(jnp.asarray(step_xi)))
     T = np.eye(4, dtype=np.float32)
     scans, poses = [], []
     for _ in range(S):
@@ -216,57 +268,31 @@ def bench_odometry():
         scans.append(np.hstack([mp[:, :3] @ Ti[:3, :3].T + Ti[:3, 3],
                                 mp[:, 3:6] @ Ti[:3, :3].T]).astype(np.float32))
         poses.append(T.copy())
-        T = T @ step
+        T = T @ step_T
     scans_j = jnp.asarray(np.stack(scans))
     poses_true = jnp.asarray(np.stack(poses))
     cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
                     tolerance=1e-6, dim=2, trim_dist=5.0,
                     loss_name="huber", loss_metric=1.0)
 
-    def run(k=0):
-        return odometry(_shift(scans_j, k), cfg)
+    def step(s):
+        return jnp.sum(odometry(s, cfg).poses)
 
-    dt = _time(run, n=5)
-    res = run()
-    _block(res)
+    dt = _chained_rate(step, scans_j, k_small=1, k_big=4)
+    res = odometry(scans_j, cfg)
     err = float(ate(res.poses, poses_true, align=False))
     _emit("odometry_64scans", (S - 1) / dt, "pairs/s", ate=err,
           all_converged=bool(jnp.all(res.converged)))
-
-
-def bench_capacity():
-    """Chip-capacity probe: the headline config at B=4096 (the B=256 point is
-    dispatch/latency-bound; this measures sustained registrations/s when the
-    batch amortizes per-step overhead)."""
-    import jax
-    import jax.numpy as jnp
-
-    from dicp_tpu.config import ICPConfig
-    from dicp_tpu.ift import register_ift
-
-    scan, mp = _pair()
-    B = 4096
-    src = jnp.asarray(np.broadcast_to(scan[None, :, :3], (B, scan.shape[0], 3)))
-    tgt = jnp.asarray(np.broadcast_to(mp[None], (B,) + mp.shape))
-    ti = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)))
-    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
-                    tolerance=1e-6, dim=2, trim_dist=5.0,
-                    loss_name="huber", loss_metric=1.0)
-    step = jax.jit(jax.value_and_grad(
-        lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg).T)))
-    dt = _time(lambda k: step(_shift(src, k)), n=5)
-    _emit("batch4096_fwdbwd_ift", B / dt, "registrations/s",
-          vs_cpu_baseline=round(B / dt / 1293.0, 2))
 
 
 def bench_pipeline():
     """End-to-end streaming odometry: disk -> native host preprocess (range
     filter + voxel hash-grid) -> prefetched host->device transfer -> TPU
     registration, one scan pair at a time (the online-SLAM serving path).
-    Reports whole-pipeline frames/s and the trajectory error."""
+    Host-pipeline-bound; every result is fetched to host inside the timed
+    region, so device work cannot be skipped."""
     import tempfile
 
-    import jax
     import jax.numpy as jnp
 
     from dicp_tpu import se3
@@ -274,17 +300,7 @@ def bench_pipeline():
     from dicp_tpu.io import ScanDataset, save_bin
     from dicp_tpu.registration import register_jit
 
-    rng = np.random.default_rng(0)
-    # synthetic 3-D scene (three planes), ~60k raw points per scan
-    n_raw = 60_000
-    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
-    pts = []
-    for k in range(3):
-        uv = rng.uniform(-20, 20, size=(n_raw // 3, 2)).astype(np.float32)
-        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
-        pts.append(uv @ basis + normals[k] * (4.0 + k))
-    scene = np.vstack(pts).astype(np.float32)
-
+    scene = _make_scene(60_000)[:, :3]
     S = 16
     step_xi = jnp.asarray(np.array([0.04, 0.02, 0.01, 0.004, 0.002, 0.01], np.float32))
     T_step = np.asarray(se3.vec2tran(step_xi))
@@ -302,15 +318,13 @@ def bench_pipeline():
                     tolerance=1e-5, dim=3, trim_dist=1.0,
                     loss_name="huber", loss_metric=0.5)
 
-    def run_pipeline(shift=0.0):
+    def run_pipeline(shift):
         ds = ScanDataset.from_dir(tmpdir, max_points=max_pts, voxel=0.4,
                                   workers=4, prefetch=4)
         prev = None
         rels = []
         for pts_np, w_np in ds:
-            # distinct inputs per run: the axon layer dedups identical
-            # dispatches (see _time)
-            cur = jnp.asarray(pts_np[:, :3]) + jnp.float32(shift)
+            cur = jnp.asarray(pts_np[:, :3] + shift)
             w = jnp.asarray(w_np)
             if prev is not None:
                 res = register_jit(cur[None], prev[0][None],
@@ -318,19 +332,18 @@ def bench_pipeline():
                                    w[None], cfg=cfg)
                 rels.append(res.T[0])
             prev = (cur, w)
-        return jnp.stack(rels)
+        # host fetch of every transform forces all solves to really run
+        return np.asarray(jnp.stack(rels))
 
-    rels = run_pipeline()  # compile + warm cache
-    _block(rels)
+    run_pipeline(np.float32(0))  # compile + warm
     t0 = time.time()
-    rels = run_pipeline(1e-7)
-    _block(rels)
+    rels = run_pipeline(np.float32(1e-7))
     dt = time.time() - t0
-    step_inv = jnp.broadcast_to(se3.tran_inv(jnp.asarray(T_step)), rels.shape)
-    err = float(jnp.max(jnp.linalg.norm(
-        jax.vmap(se3.tran2vec)(jax.vmap(se3.compose)(rels, step_inv)), axis=-1)))
+    step_inv = np.asarray(se3.tran_inv(jnp.asarray(T_step)))
+    err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
+        jnp.asarray(r @ step_inv)))) for r in rels]))
     _emit("pipeline_stream", S / dt, "frames/s", rel_err=err, scans=S,
-          raw_pts=n_raw, voxel_pts=max_pts)
+          raw_pts=60_000, voxel_pts=max_pts)
 
 
 ALL = {
