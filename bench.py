@@ -22,7 +22,8 @@ between two chain lengths to cancel the fixed dispatch/fetch overhead.
 Calibration: a chained 8192^3 matmul measures 116 TF/s on this chip — 59%
 of the v5e bf16 peak, i.e. physically sane.
 
-Prints ONE JSON line; detail goes to stderr.
+Prints ONE JSON line; detail goes to stderr.  Set BENCH_FULL=1 to also
+measure the unrolled-scan and forward-only paths (extra chain compiles).
 """
 
 import json
@@ -32,43 +33,10 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from benchmarks.timing import chained_rate as _chained_rate
+
 BASELINE_REG_PER_S = 1293.0  # BASELINE.md: pt2pl diff B=256 fwd+bwd, 1 CPU core
-K_SMALL, K_BIG = 4, 16
-
-
-def _chained_rate(make_step, src, *consts, k_small=K_SMALL, k_big=K_BIG):
-    """Seconds per step of `make_step`, overhead-differenced.
-
-    make_step(src_shifted, *consts) must return a scalar that depends on ALL
-    of the step's outputs (so nothing is dead-code-eliminated).  ``consts``
-    are jit ARGUMENTS — closure-captured concrete arrays make the remote
-    compiler pathologically slow.
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def chain(K):
-        @jax.jit
-        def f(src, *consts):
-            def body(carry, k):
-                s = src + (carry * 1e-12 + k.astype(jnp.float32) * 1e-7)
-                return make_step(s, *consts), ()
-            c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(K))
-            return c
-        return f
-
-    times = {}
-    for K in (k_small, k_big):
-        f = chain(K)
-        float(f(src, *consts))  # compile + one throwaway fetch
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(src, *consts))   # host fetch forces real completion
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
-    return (times[k_big] - times[k_small]) / (k_big - k_small)
 
 
 def main():
@@ -126,7 +94,9 @@ def main():
     else:
         del unrolled_step, fwd_step  # measured via BENCH_FULL=1; see BENCH.md
 
-    # sanity: solution accurate and grads finite + IFT grad agrees with unrolled
+    # sanity: transforms finite + accurate, grads finite, IFT agrees with unrolled
+    res_T = jax.jit(lambda s: register(s, target, t_init, None, cfg).T)(source)
+    assert np.all(np.isfinite(np.asarray(res_T))), "non-finite transforms"
     g_ift = jax.jit(jax.grad(
         lambda s: jnp.sum(register_ift(s, target, t_init, None, cfg).T)))(source)
     g_unr = jax.jit(jax.grad(

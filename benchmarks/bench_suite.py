@@ -26,47 +26,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks.timing import chained_rate as _chained_rate
+
 
 def _pair(dtype=np.float32):
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "tests", "data")
     return (np.load(os.path.join(base, "points_scan.npy")).astype(dtype),
             np.load(os.path.join(base, "points_map.npy")).astype(dtype))
-
-
-def _chained_rate(make_step, src, *consts, k_small=4, k_big=16, reps=3):
-    """Seconds per step, overhead-differenced (see module docstring).
-
-    make_step(src_shifted, *consts) -> scalar depending on ALL of the step's
-    outputs.  ``consts`` are passed as jit ARGUMENTS, not closure constants —
-    closure-captured concrete arrays make the remote compiler pathologically
-    slow (see .claude/skills/verify/SKILL.md).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def chain(K):
-        @jax.jit
-        def f(src, *consts):
-            def body(carry, k):
-                s = src + (carry * 1e-12 + k.astype(jnp.float32) * 1e-7)
-                return make_step(s, *consts), ()
-            c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(K))
-            return c
-        return f
-
-    times = {}
-    for K in (k_small, k_big):
-        f = chain(K)
-        float(f(src, *consts))  # compile + throwaway fetch
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(src, *consts))  # host fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
-    return (times[k_big] - times[k_small]) / (k_big - k_small)
 
 
 def _emit(name, value, unit, **detail):

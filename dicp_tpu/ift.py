@@ -40,7 +40,7 @@ from jax import lax
 
 from dicp_tpu import knn, losses, se3
 from dicp_tpu.config import ICPConfig
-from dicp_tpu.registration import ICPResult, register, register_jit
+from dicp_tpu.registration import ICPResult, _damping, register, register_jit
 
 
 def _solver_weight(w):
@@ -131,15 +131,7 @@ def _fp_bwd(cfg, saved, T_bar):
     # Damp like the solver (dICP/ICP.py:200): on gauge-degenerate problems
     # (e.g. planar data solved in 3-D) dG/dxi is singular; damping keeps the
     # adjoint solve finite (null-direction gradients are meaningless anyway).
-    # Relative to the diagonal magnitude, matching registration._damping
-    # (dG/dxi need not have a positive diagonal -> abs).
-    if cfg.tikhonov is not None:
-        lam = jnp.asarray(cfg.tikhonov, dtype)
-    else:
-        rel = 1e-12 if dtype == jnp.float64 else 1e-6
-        dmax = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
-        lam = (rel * jnp.maximum(dmax, 1.0))[..., None, None]
-    A = A + lam * jnp.eye(k, dtype=dtype)
+    A = A + _damping(cfg, A, use_abs=True) * jnp.eye(k, dtype=dtype)
 
     # cotangent on xi from the cotangent on T via the retraction map
     _, pose_vjp = jax.vjp(lambda xi: _pose_from_xi(cfg, xi, C_star, r_star), zero_xi)

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dicp_tpu import knn, losses, se3
 from dicp_tpu.config import ICPConfig
-from dicp_tpu.registration import ICPResult, register
+from dicp_tpu.registration import ICPResult, _damping, register
 
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
@@ -140,8 +140,6 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     sharded too and correspondences come from :func:`ring_nn` (adds the ring
     ppermute traffic, removes the replicated-map memory requirement).
     """
-    from dicp_tpu.registration import _damping
-
     dtype = source_shard.dtype
     C0 = T_init[:3, :3]
     r0 = T_init[:3, 3]

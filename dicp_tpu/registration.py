@@ -58,7 +58,7 @@ class ICPResult(NamedTuple):
     matched_ratio: jnp.ndarray # (N,) float
 
 
-def _damping(cfg: ICPConfig, A: jnp.ndarray) -> jnp.ndarray:
+def _damping(cfg: ICPConfig, A: jnp.ndarray, use_abs: bool = False) -> jnp.ndarray:
     """Per-element Tikhonov damping for the normal equations A (N, k, k).
 
     ``cfg.tikhonov`` set -> absolute, like the reference's 1e-12
@@ -74,7 +74,10 @@ def _damping(cfg: ICPConfig, A: jnp.ndarray) -> jnp.ndarray:
     if cfg.tikhonov is not None:
         return jnp.asarray(cfg.tikhonov, A.dtype)
     rel = 1e-12 if A.dtype == jnp.float64 else 1e-6
-    dmax = jnp.max(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    if use_abs:
+        diag = jnp.abs(diag)  # IFT adjoint: dG/dxi need not have positive diag
+    dmax = jnp.max(diag, axis=-1)
     return (rel * jnp.maximum(dmax, 1.0))[..., None, None]
 
 
