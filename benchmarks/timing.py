@@ -33,7 +33,8 @@ def chained_rate(make_step, src, *consts, k_small=4, k_big=16, reps=3):
         def f(src, off, *consts):
             def body(carry, k):
                 s = src + (carry * 1e-12 + (off + k.astype(jnp.float32)) * 1e-7)
-                return make_step(s, *consts), ()
+                # cast keeps the carry dtype stable under jax_enable_x64
+                return make_step(s, *consts).astype(jnp.float32), ()
             c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(K))
             return c
         return f
