@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dicp_tpu.config import ICPConfig, config_from_yaml
+from dicp_tpu.config import ICPConfig, config_from_yaml, load_yaml_config
 from dicp_tpu.registration import ICPResult, register_jit, slice_histories
 
 
@@ -62,11 +62,41 @@ def batch_size_handling(
     # ---- phony path: entire source/target missing (dICP/ICP.py:329-346)
     if _is_empty(source) or _is_empty(target):
         dt = jnp.float32
-        src = jnp.zeros((1, 1, 3), dtype=dt)
-        tgt = jnp.zeros((1, 1, 6), dtype=dt)
         ti = jnp.eye(4, dtype=dt)[None] if T_init is None else _normalize_T(T_init, dt)
-        w = jnp.zeros((1, 1), dtype=dt)
+        # phony clouds sized to the T_init batch, so a batched T_init passes
+        # through unchanged instead of shape-crashing in the solver
+        N = ti.shape[0]
+        src = jnp.zeros((N, 1, 3), dtype=dt)
+        tgt = jnp.zeros((N, 1, 6), dtype=dt)
+        w = jnp.zeros((N, 1), dtype=dt)
         return src, tgt, ti, w
+
+    # mixed list/dense inputs: the reference handles source and target lists
+    # independently (dICP/ICP.py:361-426 vs :440-485); normalize by lifting
+    # the dense side to a list so one code path serves both.
+    is_list_src = isinstance(source, (list, tuple))
+    is_list_tgt = isinstance(target, (list, tuple))
+    if is_list_src != is_list_tgt:
+        if is_list_src:
+            t = jnp.asarray(target)
+            if t.ndim == 2:
+                target = [t] * len(source)          # one shared target cloud
+            elif t.ndim == 3:
+                target = [t[i] for i in range(t.shape[0])]
+            else:
+                raise ValueError("target must be (m x 3/6) or (N x m x 3/6) or list")
+        else:
+            s = jnp.asarray(source)
+            if s.ndim == 2:
+                source = [s] * len(target)          # one shared source cloud
+                if weight is not None and jnp.asarray(weight).ndim == 1:
+                    weight = [weight] * len(target)
+            elif s.ndim == 3:
+                source = [s[i] for i in range(s.shape[0])]
+                if weight is not None and jnp.asarray(weight).ndim == 2:
+                    weight = [weight[i] for i in range(len(source))]
+            else:
+                raise ValueError("source must be (n x 3/6) or (N x n x 3/6) or list")
 
     is_list = isinstance(source, (list, tuple))
     if weight is not None:
@@ -109,7 +139,10 @@ def batch_size_handling(
         if tgt_dim is None:
             tgt_dim = 6
         m_max = max(max((len(t) if not _is_empty(t) else 1) for t in target), 1)
-        pad_val = jnp.max(src) * target_pad_val
+        # sentinel guaranteed far outside the cloud: the reference's
+        # max(source)*1000 (dICP/ICP.py:460) lands AT the origin when all
+        # coordinates are <= 0 and pad rows silently win the NN search
+        pad_val = (jnp.max(jnp.abs(src)) + 1.0) * target_pad_val
         tgt_rows = []
         zero_w_rows = []
         for i, t in enumerate(target):
@@ -185,9 +218,7 @@ class ICP:
         self._base_cfg = config_from_yaml(
             config_path, icp_type=icp_type, max_iterations=max_iterations,
             tolerance=tolerance, differentiable=differentiable)
-        self.config = {"dICP": None}  # populated below for attribute parity
-        from dicp_tpu.config import load_yaml_config
-        self.config = load_yaml_config(config_path)
+        self.config = load_yaml_config(config_path)  # raw-dict attribute parity
         # Mutable attributes for reference-style attribute pokes
         # (tests/test_ICP_inputs.py:263 sets source_zeroes_are_pad directly).
         self.icp_type = icp_type
@@ -236,6 +267,10 @@ class ICP:
             source, target, T_init, weight, target_pad_val=cfg.target_pad_val)
         if ti is None:
             ti = jnp.broadcast_to(jnp.eye(4, dtype=src.dtype), (src.shape[0], 4, 4))
+        elif ti.shape[0] == 1 and src.shape[0] > 1:
+            # single (4,4) init shared by the whole batch (reference accepts
+            # one T_init for a list batch, dICP/ICP.py:494-504)
+            ti = jnp.broadcast_to(ti, (src.shape[0], 4, 4))
         ti = ti.astype(src.dtype)
         result = register_jit(src, tgt, ti, w, cfg=cfg, key=key)
         result = slice_histories(result)

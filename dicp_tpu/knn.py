@@ -144,6 +144,11 @@ def find_nn(
     if use_pallas:
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
 
-        idx = nn_indices_pallas(x_use, y_use[..., :3])
+        # pallas_call has no AD rule; the argmin index is gradient-detached
+        # in hard-NN semantics anyway, so compute it on stop_gradient'd
+        # inputs — only the gather_rows carries tangents (into the target),
+        # exactly like the dense hard_nn path.
+        idx = nn_indices_pallas(jax.lax.stop_gradient(x_use),
+                                jax.lax.stop_gradient(y_use[..., :3]))
         return gather_rows(y_use, idx)
     return hard_nn(x_use, y_use)

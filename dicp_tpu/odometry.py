@@ -28,7 +28,7 @@ from jax import lax
 
 from dicp_tpu import se3
 from dicp_tpu.config import ICPConfig
-from dicp_tpu.registration import register
+from dicp_tpu.registration import register, register_jit
 
 
 class OdometryResult(NamedTuple):
@@ -170,8 +170,13 @@ def pose_graph_optimize(poses: jnp.ndarray, graph: PoseGraph,
         return poses, cost
 
     with jax.default_matmul_precision("float32"):
-        poses, costs = lax.scan(gn_step, poses, None, length=iterations)
-    return poses, costs[-1]
+        poses, _ = lax.scan(gn_step, poses, None, length=iterations)
+        # final cost evaluated AT the returned poses (the in-scan cost is
+        # computed before each update, i.e. one iteration stale)
+        r_fin, _, _ = batched_rj(poses[graph.edges_i], poses[graph.edges_j],
+                                 graph.t_meas)
+        cost = jnp.sum(graph.info * jnp.sum(r_fin * r_fin, axis=-1))
+    return poses, cost
 
 
 def odometry_pose_graph(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
@@ -191,9 +196,11 @@ def odometry_pose_graph(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
 
     if loop_closures is not None:
         li, lj = loop_closures
-        res = register(scans[lj][:, :, :3], scans[li],
-                       jnp.broadcast_to(jnp.eye(4, dtype=scans.dtype),
-                                        (li.shape[0], 4, 4)), None, cfg)
+        # register_jit: the eager path re-traces the whole solve per call
+        # (~300x slower through the remote runtime)
+        res = register_jit(scans[lj][:, :, :3], scans[li],
+                           jnp.broadcast_to(jnp.eye(4, dtype=scans.dtype),
+                                            (li.shape[0], 4, 4)), None, cfg=cfg)
         edges_i = jnp.concatenate([edges_i, li.astype(jnp.int32)])
         edges_j = jnp.concatenate([edges_j, lj.astype(jnp.int32)])
         t_meas = jnp.concatenate([t_meas, res.T])

@@ -135,7 +135,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
         if cfg.use_pallas_nn:
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
 
-            idx = nn_indices_pallas(ps_t, target[..., :3])
+            # stop_gradient: pallas_call has no AD rule, and the argmin index
+            # is gradient-detached in hard-NN semantics anyway
+            idx = nn_indices_pallas(lax.stop_gradient(ps_t),
+                                    lax.stop_gradient(target[..., :3]))
             nn6 = knn.gather_rows(target, idx)
         else:
             nn6 = knn.find_nn(ps_t, target, differentiable=cfg.differentiable,

@@ -77,19 +77,41 @@ def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray,
         jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz], -1),
     ], axis=-2)  # (N, 4, 4) symmetric
 
+    # Degenerate cross-covariance (all weights zero, coincident points):
+    # there is no rotation information — return the identity alignment.
+    # Without this, the power iteration underflows q to 0 and 0/0 = NaN.
+    s_norm2 = jnp.sum(S * S, axis=(-2, -1))
+    degenerate = s_norm2 < jnp.finfo(dtype).tiny * 1e6
+
     # shift to make the top eigenvalue dominant in magnitude, then power-iterate
-    shift = 2.0 * jnp.sqrt(jnp.sum(S * S, axis=(-2, -1)) + 1e-30)
+    shift = 2.0 * jnp.sqrt(jnp.where(degenerate, jnp.ones_like(s_norm2), s_norm2))
     Ks = K + shift[:, None, None] * jnp.eye(4, dtype=dtype)
 
-    q = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype), (ps.shape[0], 4))
+    # TWO power-iteration seeds, winner by Rayleigh quotient: the identity
+    # quaternion [1,0,0,0] converges fastest for the common near-identity
+    # alignment but is exactly orthogonal to the dominant eigenvector of any
+    # 180-degree alignment (w = cos(theta/2) = 0, and a power iteration on a
+    # symmetric matrix never recovers a component the seed lacks); the
+    # complementary pure-axis seed covers that subspace.
+    seeds = jnp.array([[1.0, 0.0, 0.0, 0.0],
+                       [0.0, 1.0, 1.0, 1.0]], dtype=dtype)
+    seeds = seeds / jnp.linalg.norm(seeds, axis=-1, keepdims=True)
+    q = jnp.broadcast_to(seeds, (ps.shape[0], 2, 4))
     # Unrolled on purpose: a lax.scan/fori_loop here costs ~0.5 ms of
     # sequencing overhead PER STEP on TPU; unrolled 4x4 matvecs fuse into one
-    # straight-line block.  Normalize every 4 steps (values stay in range).
-    for i in range(power_iters):
-        q = jnp.einsum("nij,nj->ni", Ks, q)
-        if i % 4 == 3 or i == power_iters - 1:
-            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # straight-line block.  Normalize EVERY step with a zero guard (repeated
+    # tiny-eigenvalue matvecs underflow f32 otherwise).
+    for _ in range(power_iters):
+        q = jnp.einsum("nij,nsj->nsi", Ks, q)
+        norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        bad = norm < jnp.finfo(dtype).tiny * 1e6
+        q = jnp.where(bad, seeds, q / jnp.where(bad, jnp.ones_like(norm), norm))
+    rayleigh = jnp.einsum("nsi,nij,nsj->ns", q, K, q)      # (N, 2)
+    pick = jnp.argmax(rayleigh, axis=-1)
+    q = jnp.take_along_axis(q, pick[:, None, None], axis=1)[:, 0]
     C = _quat_to_rot(q)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), C.shape)
+    C = jnp.where(degenerate[:, None, None], eye, C)
     r = mean_q - jnp.einsum("nij,nj->ni", C, mean_p)
     return C, r
 
@@ -147,7 +169,9 @@ def _svd_icp_impl(source, target, T_init, weight, max_iterations, tolerance,
         ps_t = jnp.einsum("nij,npj->npi", C, source) + r[:, None, :]
         nn_t = knn.hard_nn(ps_t, target)
         w = weight
-        if trim_dist is not None:
+        if trim_dist is not None and trim_dist >= 0.0:
+            # negative trim is ignored, matching the GN path (registration.py)
+            # and the reference's gate (dICP/ICP.py:153)
             resid = jnp.linalg.norm(ps_t - nn_t, axis=-1)
             w = w * (resid < trim_dist).astype(dtype)
         dC, dr = _kabsch(ps_t, nn_t, w)

@@ -188,3 +188,51 @@ def test_gumbel_icp_converges(source_np, target_np):
     # never exercises Gumbel inside ICP); require a nearby, finite solution.
     assert _err_norm(_truth(), np.asarray(res["T"][0])) < 0.5
     assert np.all(np.isfinite(np.asarray(res["T"])))
+
+
+def test_svd_degenerate_inputs_no_nan(source_np):
+    """All-trimmed / coincident clouds must return finite identity-ish
+    transforms, not NaN (power-iteration underflow regression)."""
+    from dicp_tpu.svd_icp import pt2pt_svd_icp
+
+    src = jnp.asarray(source_np[:, :3])
+    # target far away + tiny trim -> every point trimmed every iteration
+    res = pt2pt_svd_icp(src, src + 5.0, trim_dist=0.1, differentiable=False,
+                        max_iterations=10)
+    assert np.all(np.isfinite(np.asarray(res.T)))
+    # negative trim is ignored (parity with the GN path)
+    res2 = pt2pt_svd_icp(src, src, trim_dist=-1.0, differentiable=False,
+                         max_iterations=5)
+    assert np.all(np.isfinite(np.asarray(res2.T)))
+    np.testing.assert_allclose(np.asarray(res2.T), np.eye(4), atol=1e-6)
+
+
+def test_svd_180_degree_alignment():
+    """Kabsch must recover a 180-degree rotation (the identity-quaternion
+    power-iteration seed is exactly orthogonal to that eigenvector)."""
+    from dicp_tpu.svd_icp import _kabsch
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(1, 200, 3)))
+    Rz = jnp.asarray(np.diag([-1.0, -1.0, 1.0]))  # 180 deg about z
+    q = p @ Rz.T
+    C, r = _kabsch(p, q, jnp.ones((1, 200)))
+    np.testing.assert_allclose(np.asarray(C[0]), np.asarray(Rz), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r[0]), 0.0, atol=1e-8)
+
+
+def test_find_nn_pallas_grad(source_np, target_np):
+    """jax.grad through find_nn's Pallas dispatch path (pallas_call has no
+    AD rule; the index must be computed under stop_gradient)."""
+    from dicp_tpu import knn
+
+    x = jnp.asarray(source_np[:, :3])
+    y = jnp.asarray(target_np)
+
+    def loss(y_):
+        out = knn.find_nn(x, y_, differentiable=True, use_pallas=True)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(y)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)

@@ -169,3 +169,59 @@ def test_3d_dim(source_np, target_np):
     xi = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 0.1], dtype=jnp.float64)
     T_true = np.asarray(se3.tran_inv(se3.vec2tran(xi)))
     np.testing.assert_allclose(T[:2, 3], T_true[:2, 3], atol=1e-3)
+
+
+def test_mixed_list_dense_inputs(source_np, target_np):
+    """Ragged list source + one shared dense target (and the converse) —
+    the reference handles the two containers independently
+    (dICP/ICP.py:361-426 vs :440-485)."""
+    solver = ICP(icp_type="pt2pl", differentiable=False,
+                 max_iterations=25, tolerance=1e-8)
+    kw = dict(trim_dist=5.0, loss_fn={"name": "huber", "metric": 1.0}, dim=2)
+
+    sources = [jnp.asarray(source_np[:51, :3]), jnp.asarray(source_np[:, :3])]
+    res = solver.icp(sources, jnp.asarray(target_np), jnp.eye(4), **kw)
+    assert res["T"].shape == (2, 4, 4)
+    assert np.all(np.isfinite(np.asarray(res["T"])))
+
+    targets = [jnp.asarray(target_np[:55]), jnp.asarray(target_np)]
+    res2 = solver.icp(jnp.asarray(source_np[:, :3]), targets, jnp.eye(4), **kw)
+    assert res2["T"].shape == (2, 4, 4)
+    assert np.all(np.isfinite(np.asarray(res2["T"])))
+
+
+def test_phony_path_batched_t_init():
+    """Empty clouds with a BATCHED T_init must return it unchanged
+    (the reference returns identity; we preserve the passed inits)."""
+    from dicp_tpu import se3
+
+    solver = ICP(icp_type="pt2pl", max_iterations=10, tolerance=1e-8)
+    t1 = np.asarray(se3.vec2tran(jnp.asarray([0.1, 0.2, 0, 0, 0, 0.3])))
+    ti = jnp.asarray(np.stack([np.eye(4), t1]).astype(np.float32))
+    res = solver.icp([], [], ti, dim=2)
+    np.testing.assert_allclose(np.asarray(res["T"]), np.asarray(ti), atol=1e-6)
+
+
+def test_negative_coordinate_padding(source_np, target_np):
+    """Ragged batch with all-NEGATIVE coordinates: the reference's
+    max(source)*1000 sentinel lands at the origin and pad rows can win the
+    NN search; ours must not."""
+    from dicp_tpu import se3
+
+    shift = np.array([-60.0, -60.0, 0.0])
+    src_n = source_np[:, :3] + shift
+    tgt_n = np.hstack([target_np[:, :3] + shift, target_np[:, 3:6]])
+    solver = ICP(icp_type="pt2pl", differentiable=False,
+                 max_iterations=50, tolerance=1e-10)
+    res = solver.icp([jnp.asarray(src_n[:51]), jnp.asarray(src_n)],
+                     [jnp.asarray(tgt_n[:55]), jnp.asarray(tgt_n)],
+                     jnp.eye(4), trim_dist=5.0,
+                     loss_fn={"name": "huber", "metric": 1.0}, dim=2)
+    # the full pair (element 1) must still recover the (shift-conjugated)
+    # reference transform: both clouds moved by s, so T' = Tr(s) T Tr(-s)
+    t_true = se3.tran_inv(se3.vec2tran(jnp.asarray([1.0, 1.0, 0, 0, 0, 0.1])))
+    tr = jnp.eye(4).at[:3, 3].set(jnp.asarray(shift))
+    t_true = tr @ t_true @ se3.tran_inv(tr)
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(t_true, se3.tran_inv(res["T"][1])))))
+    assert err < 1e-6, f"padding corrupted the solve: err {err}"
