@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes: TQ queries x TM targets -> (TQ, TM) f32 distance tile in VMEM.
 # 256 x 2048 x 4B = 2 MB per tile + buffers, comfortably inside ~16 MB VMEM.
+# Chained-methodology A/B on v5e (BENCH.md): 256x2048 = 62 ms for 100k x
+# 100k vs 79 ms at 512x1024 — keep the long-lane tile.
 _TQ = 256
 _TM = 2048
 _PAD_VAL = 1e30
