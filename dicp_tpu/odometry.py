@@ -209,3 +209,61 @@ def odometry_pose_graph(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
     graph = PoseGraph(edges_i, edges_j, t_meas, info)
     poses, _ = pose_graph_optimize(odo.poses, graph, iterations=pg_iterations)
     return odo._replace(poses=poses)
+
+
+def resumable_odometry(
+    scans: jnp.ndarray,
+    cfg: ICPConfig = ICPConfig(),
+    checkpoint_path: Optional[str] = None,
+    chunk: int = 64,
+) -> OdometryResult:
+    """Odometry over a long sequence with checkpoint/resume.
+
+    Registers consecutive pairs in ``chunk``-sized batched solves (one jit
+    cache entry per chunk shape, two for a ragged tail) and atomically
+    checkpoints the accumulated relative transforms after each chunk.  If
+    ``checkpoint_path`` exists, completed chunks are skipped — a killed run
+    resumes where it left off and produces the identical trajectory (the
+    reference has no checkpointing at all, SURVEY.md §5; this is the "real
+    checkpoint/restart need" its multi-host odometry analysis calls out).
+    """
+    import os
+
+    import numpy as np
+
+    from dicp_tpu.utils.checkpoint import (load_odometry_state,
+                                           save_odometry_state)
+
+    S = scans.shape[0]
+    n_pairs = S - 1
+    done = 0
+    rels = np.zeros((n_pairs, 4, 4), np.asarray(scans[:1]).dtype)
+    conv = np.zeros((n_pairs,), bool)
+    iters = np.zeros((n_pairs,), np.asarray(scans[:1]).dtype)
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state = load_odometry_state(checkpoint_path)
+        done = int(state["step"])
+        rels[:done] = state["rel_transforms"][:done]
+        conv[:done] = state["converged"][:done]
+        iters[:done] = state["iterations"][:done]
+
+    while done < n_pairs:
+        hi = min(done + chunk, n_pairs)
+        # sources are scans[done+1 : hi+1], targets scans[done : hi]
+        res = register_jit(scans[done + 1:hi + 1, :, :3], scans[done:hi],
+                           jnp.broadcast_to(jnp.eye(4, dtype=scans.dtype),
+                                            (hi - done, 4, 4)), None, cfg=cfg)
+        rels[done:hi] = np.asarray(res.T)
+        conv[done:hi] = np.asarray(res.converged)
+        iters[done:hi] = np.asarray(res.iterations)
+        done = hi
+        if checkpoint_path is not None:
+            save_odometry_state(checkpoint_path,
+                                poses=compose_chain(jnp.asarray(rels[:done])),
+                                rel_transforms=rels, step=done,
+                                converged=conv, iterations=iters)
+
+    poses = compose_chain(jnp.asarray(rels))
+    return OdometryResult(poses=poses, rel_transforms=jnp.asarray(rels),
+                          converged=jnp.asarray(conv),
+                          iterations=jnp.asarray(iters))

@@ -19,9 +19,10 @@ import numpy as np
 
 def save_odometry_state(path: str, poses, rel_transforms=None,
                         edges_i=None, edges_j=None, t_meas=None, info=None,
-                        step: Optional[int] = None) -> None:
-    """Atomically persist odometry/pose-graph state."""
+                        step: Optional[int] = None, **extra) -> None:
+    """Atomically persist odometry/pose-graph state (plus any extra arrays)."""
     arrays = {"poses": np.asarray(poses)}
+    arrays.update({k: np.asarray(v) for k, v in extra.items()})
     if rel_transforms is not None:
         arrays["rel_transforms"] = np.asarray(rel_transforms)
     if edges_i is not None:

@@ -140,3 +140,40 @@ def test_voxel_downsample_jit_and_register(target_np):
                        jnp.eye(4, dtype=pts.dtype)[None],
                        out.weight[None], cfg=cfg)
     assert np.all(np.isfinite(np.asarray(res.T)))
+
+
+def test_resumable_odometry_matches_oneshot(tmp_path, target_np):
+    """Kill-and-resume produces the identical trajectory as one shot."""
+    import os
+
+    from dicp_tpu.odometry import odometry, resumable_odometry
+
+    mp = target_np.astype(np.float32)
+    S = 9
+    step = se3.vec2tran(jnp.asarray([0.05, 0.08, 0, 0, 0, 0.02], jnp.float32))
+    T = np.eye(4, dtype=np.float32)
+    scans = []
+    for _ in range(S):
+        Ti = np.linalg.inv(T)
+        scans.append(np.hstack([mp[:, :3] @ Ti[:3, :3].T + Ti[:3, 3],
+                                mp[:, 3:6] @ Ti[:3, :3].T]).astype(np.float32))
+        T = T @ np.asarray(step)
+    scans_j = jnp.asarray(np.stack(scans))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    oneshot = odometry(scans_j, cfg)
+
+    # simulate an interrupted run: process only the first 2 chunks (chunk=3
+    # -> 6 of 8 pairs), "crash", then resume from the checkpoint
+    ckpt = os.path.join(tmp_path, "odo.npz")
+    partial = resumable_odometry(scans_j[:7], cfg, checkpoint_path=ckpt, chunk=3)
+    state_mid = np.load(ckpt)
+    assert int(state_mid["step"]) == 6
+
+    resumed = resumable_odometry(scans_j, cfg, checkpoint_path=ckpt, chunk=3)
+    np.testing.assert_allclose(np.asarray(resumed.poses),
+                               np.asarray(oneshot.poses), atol=1e-6)
+    assert bool(jnp.all(resumed.converged))
+    del partial
