@@ -67,8 +67,12 @@ def _pose_from_xi(cfg: ICPConfig, xi, C_star, r_star):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fixed_point_T(cfg: ICPConfig, source, target, weight, T_init):
-    """T* from the cheap early-exit driver (forward value only).
+def _fixed_point_res(cfg: ICPConfig, source, target, weight, T_init):
+    """Full ICPResult from ONE cheap early-exit forward solve.
+
+    Only the ``T`` field's cotangent is consumed by the backward (histories
+    and stats are detached by contract, dICP/ICP.py:220-237; ``pc`` is
+    recomputed differentiably from T by the caller).
 
     NOTE: keep ``differentiable=True`` — the flag selects the smooth
     pseudo-Huber/tanh-trim weight forms (dICP/loss.py:30,:54), which have a
@@ -77,25 +81,28 @@ def _fixed_point_T(cfg: ICPConfig, source, target, weight, T_init):
     smooth fixed point.  The while driver is safe here because custom_vjp
     never differentiates through it.
     """
-    res = register_jit(source, target, T_init, weight,
-                       cfg=cfg.with_(differentiable=True, driver="while"))
-    return res.T
+    return register_jit(source, target, T_init, weight,
+                        cfg=cfg.with_(differentiable=True, driver="while"))
 
 
 def _fp_fwd(cfg, source, target, weight, T_init):
-    T = _fixed_point_T(cfg, source, target, weight, T_init)
-    return T, (source, target, weight, T)
+    res = _fixed_point_res(cfg, source, target, weight, T_init)
+    return res, (source, target, weight, res.T)
 
 
-def _fp_bwd(cfg, saved, T_bar):
+def _fp_bwd(cfg, saved, res_bar):
     source, target, weight, T = saved
+    T_bar = res_bar.T  # every other field is detached by contract
     dtype = source.dtype
     N = source.shape[0]
     k = 3 if cfg.dim == 2 else 6
     C_star = T[:, :3, :3]
     r_star = T[:, :3, 3]
 
-    # preprocessing identical to the solver (z zeroing for dim=2 etc.)
+    # Preprocessing identical to the solver (z zeroing for dim=2 etc.).
+    # KEEP IN SYNC with registration._preprocess — not shared because the
+    # solver expands pt2pt weights x3 (one per error component) while the
+    # stationarity here applies per-point weights to 3-vectors directly.
     src = source[..., :3]
     tgt = target if cfg.icp_type == "pt2pl" else target[..., :3]
     if cfg.dim == 2:
@@ -109,9 +116,18 @@ def _fp_bwd(cfg, saved, T_bar):
     if cfg.source_zeroes_are_pad:
         w_prior = w_prior * (jnp.linalg.norm(src, axis=-1) != 0.0).astype(dtype)
 
-    # fixed correspondences at theta*
+    # fixed correspondences at theta* — Pallas dispatch for large clouds
+    # (the dense path materializes the (N, n, m) distance matrix the forward
+    # deliberately avoids)
     ps_t = jnp.einsum("nij,npj->npi", C_star, src) + r_star[:, None, :]
-    idx = lax.stop_gradient(knn.nn_indices(ps_t, tgt))
+    n_, m_ = ps_t.shape[-2], tgt.shape[-2]
+    if n_ * m_ > knn._PALLAS_THRESHOLD and jax.default_backend() != "cpu":
+        from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+
+        idx = nn_indices_pallas(lax.stop_gradient(ps_t),
+                                lax.stop_gradient(tgt[..., :3]))
+    else:
+        idx = lax.stop_gradient(knn.nn_indices(ps_t, tgt))
 
     zero_xi = jnp.zeros((N, k), dtype=dtype)
 
@@ -207,7 +223,7 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
         return jnp.einsum("npak,npa->nk", J, w[..., None] * nn_err)
 
 
-_fixed_point_T.defvjp(_fp_fwd, _fp_bwd)
+_fixed_point_res.defvjp(_fp_fwd, _fp_bwd)
 
 
 def register_ift(
@@ -227,17 +243,16 @@ def register_ift(
     if cfg.use_gumbel:
         raise ValueError("IFT gradients require hard (deterministic) NN")
     with jax.default_matmul_precision("float32"):
-        T = _fixed_point_T(cfg, source, target, weight, T_init)
-        # pc differentiably recomputed from T and the (z-masked) source
+        # ONE forward solve: the custom_vjp returns the full ICPResult
+        # (histories/stats detached by contract); pc is recomputed
+        # differentiably from T and the (z-masked) source.
+        res = _fixed_point_res(cfg, source, target, weight, T_init)
         src = source[..., :3]
         if cfg.dim == 2:
             src = src * jnp.array([1.0, 1.0, 0.0], dtype=source.dtype)
-        pc = jnp.einsum("nij,npj->npi", T[:, :3, :3], src) + T[:, None, :3, 3]
-        stats = register_jit(lax.stop_gradient(source), lax.stop_gradient(target),
-                             lax.stop_gradient(T_init),
-                             None if weight is None else lax.stop_gradient(weight),
-                             cfg=cfg.with_(differentiable=True, driver="while"))
-    return stats._replace(T=T, pc=pc)
+        pc = jnp.einsum("nij,npj->npi", res.T[:, :3, :3], src) \
+            + res.T[:, None, :3, 3]
+    return res._replace(pc=pc)
 
 
 register_ift_jit = jax.jit(register_ift, static_argnames=("cfg",))

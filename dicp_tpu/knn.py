@@ -111,31 +111,19 @@ def _handle_dimensions(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     return x_use, y_use
 
 
-def find_nn(
+def find_nn_normalized(
     x: jnp.ndarray,
     y: jnp.ndarray,
-    differentiable: bool = True,
-    use_gumbel: bool = False,
-    key: Optional[jax.Array] = None,
-    tau: float = 0.1,
-    eps: float = 1e-10,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Public NN entry point mirroring nn.find_nn (dICP/nn.py:11-21).
+    """Hard 1-NN on ALREADY-NORMALIZED (..., n, 3) / (..., m, 3|6) inputs.
 
-    Shape-normalizes inputs, then dispatches: Gumbel soft NN when
-    ``differentiable and use_gumbel`` (requires ``key``), hard NN otherwise.
-    ``use_pallas`` forces / forbids the tiled Pallas kernel; by default it is
-    used for large clouds on TPU.
+    Solver-internal entry point: skips :func:`_handle_dimensions`, whose
+    transpose heuristic misreads n==3 or m==3 clouds as (3, n) layout and
+    silently corrupts correspondences.  ``use_pallas`` None auto-selects the
+    tiled kernel for large clouds on TPU.
     """
-    x_use, y_use = _handle_dimensions(x, y)
-    if differentiable and use_gumbel:
-        if key is None:
-            raise ValueError("Gumbel NN needs an explicit PRNG key (the reference "
-                             "uses unseeded torch.rand at dICP/nn.py:60; we don't).")
-        return gumbel_nn(x_use, y_use, key, tau=tau, eps=eps)
-
-    n, m = x_use.shape[-2], y_use.shape[-2]
+    n, m = x.shape[-2], y.shape[-2]
     if use_pallas is None:
         use_pallas = (
             n * m > _PALLAS_THRESHOLD
@@ -148,7 +136,34 @@ def find_nn(
         # in hard-NN semantics anyway, so compute it on stop_gradient'd
         # inputs — only the gather_rows carries tangents (into the target),
         # exactly like the dense hard_nn path.
-        idx = nn_indices_pallas(jax.lax.stop_gradient(x_use),
-                                jax.lax.stop_gradient(y_use[..., :3]))
-        return gather_rows(y_use, idx)
-    return hard_nn(x_use, y_use)
+        idx = nn_indices_pallas(jax.lax.stop_gradient(x),
+                                jax.lax.stop_gradient(y[..., :3]))
+        return gather_rows(y, idx)
+    return hard_nn(x, y)
+
+
+def find_nn(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    differentiable: bool = True,
+    use_gumbel: bool = False,
+    key: Optional[jax.Array] = None,
+    tau: float = 0.1,
+    eps: float = 1e-10,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Public NN entry point mirroring nn.find_nn (dICP/nn.py:11-21).
+
+    Shape-normalizes inputs (including the reference's documented 3x3
+    transpose ambiguity, dICP/nn.py:106-108), then dispatches: Gumbel soft NN
+    when ``differentiable and use_gumbel`` (requires ``key``), hard NN
+    otherwise.  ``use_pallas`` forces / forbids the tiled Pallas kernel; by
+    default it is used for large clouds on TPU.
+    """
+    x_use, y_use = _handle_dimensions(x, y)
+    if differentiable and use_gumbel:
+        if key is None:
+            raise ValueError("Gumbel NN needs an explicit PRNG key (the reference "
+                             "uses unseeded torch.rand at dICP/nn.py:60; we don't).")
+        return gumbel_nn(x_use, y_use, key, tau=tau, eps=eps)
+    return find_nn_normalized(x_use, y_use, use_pallas)

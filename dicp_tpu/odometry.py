@@ -108,6 +108,23 @@ def _edge_residual(t_i, t_j, t_meas):
     return se3.tran2vec(se3.tran_inv(t_meas) @ se3.tran_inv(t_i) @ t_j)
 
 
+def edge_residual_and_jac(t_i, t_j, t_meas, dtype):
+    """(residual (6,), J_i (6,6), J_j (6,6)) of one pose-graph edge w.r.t.
+    right-multiplied se(3) perturbations of its endpoints.  Shared by the
+    dense (:func:`pose_graph_optimize`) and partitioned
+    (:mod:`dicp_tpu.parallel.pose_graph`) back-ends — their correctness
+    contract is exact agreement, so the linearization must be one function.
+    """
+    def res_fn(xi_i, xi_j):
+        return _edge_residual(t_i @ se3.vec2tran(xi_i),
+                              t_j @ se3.vec2tran(xi_j), t_meas)
+
+    zero = jnp.zeros((6,), dtype)
+    r = res_fn(zero, zero)
+    J_i, J_j = jax.jacfwd(res_fn, argnums=(0, 1))(zero, zero)
+    return r, J_i, J_j
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def pose_graph_optimize(poses: jnp.ndarray, graph: PoseGraph,
                         iterations: int = 10,
@@ -124,17 +141,8 @@ def pose_graph_optimize(poses: jnp.ndarray, graph: PoseGraph,
     dtype = poses.dtype
     E = graph.edges_i.shape[0]
 
-    def residual_and_jac(t_i, t_j, t_meas):
-        def res_fn(xi_i, xi_j):
-            return _edge_residual(t_i @ se3.vec2tran(xi_i),
-                                  t_j @ se3.vec2tran(xi_j), t_meas)
-
-        zero = jnp.zeros((6,), dtype)
-        r = res_fn(zero, zero)
-        J_i, J_j = jax.jacfwd(res_fn, argnums=(0, 1))(zero, zero)
-        return r, J_i, J_j
-
-    batched_rj = jax.vmap(residual_and_jac)
+    batched_rj = jax.vmap(
+        lambda ti, tj, tm: edge_residual_and_jac(ti, tj, tm, dtype))
 
     def gn_step(poses, _):
         t_i = poses[graph.edges_i]

@@ -37,17 +37,16 @@ def voxel_downsample(points: jnp.ndarray, voxel_size: float,
     dtype = points.dtype
     coords = points[:, :3]
 
-    cell = jnp.floor((coords - origin) / voxel_size).astype(jnp.int64)
-    cell = cell - jnp.min(cell, axis=0, keepdims=True)  # non-negative
-    # linearize: collisions impossible within the per-axis extent bound
-    extent = jnp.max(cell, axis=0) + 1
-    key = (cell[:, 0] * extent[1] + cell[:, 1]) * extent[2] + cell[:, 2]
-
-    order = jnp.argsort(key)
-    key_s = key[order]
+    cell = jnp.floor((coords - origin) / voxel_size).astype(jnp.int32)
+    # lexicographic sort on the 3 cell coordinates: a single linearized key
+    # overflows int32 for realistic grids (200m at 5cm voxels is ~1.6e10
+    # cells; astype(int64) silently truncates to int32 when x64 is off)
+    order = jnp.lexsort((cell[:, 2], cell[:, 1], cell[:, 0]))
+    cell_s = cell[order]
     pts_s = points[order]
 
-    new_seg = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(cell_s[1:] != cell_s[:-1], axis=1)])
     seg_idx = jnp.cumsum(new_seg) - 1          # (n,) segment id per point
     num_seg = seg_idx[-1] + 1
 

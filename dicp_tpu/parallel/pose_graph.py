@@ -46,7 +46,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dicp_tpu import se3
-from dicp_tpu.odometry import PoseGraph, _edge_residual
+from dicp_tpu.odometry import PoseGraph, edge_residual_and_jac
 
 
 class Partition(NamedTuple):
@@ -150,16 +150,8 @@ def _make_device_body(I_max: int, S: int, sep_ids, iterations: int,
         nI, nS = I_max * 6, S * 6
         w_edge = info_ * e_valid_
 
-        def residual_and_jac(t_i, t_j, tm):
-            def res_fn(xi_i, xi_j):
-                return _edge_residual(t_i @ se3.vec2tran(xi_i),
-                                      t_j @ se3.vec2tran(xi_j), tm)
-            zero = jnp.zeros((6,), dtype)
-            r = res_fn(zero, zero)
-            J_i, J_j = jax.jacfwd(res_fn, argnums=(0, 1))(zero, zero)
-            return r, J_i, J_j
-
-        batched_rj = jax.vmap(residual_and_jac)
+        batched_rj = jax.vmap(
+            lambda ti, tj, tm: edge_residual_and_jac(ti, tj, tm, dtype))
 
         def gn_body(poses, _):
             r, J_i, J_j = batched_rj(poses[eg_i_], poses[eg_j_], t_meas_)

@@ -131,7 +131,7 @@ def ring_nn(x: jnp.ndarray, y_shard: jnp.ndarray, axis: str) -> jnp.ndarray:
 
 
 def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init,
-                      target_sharded: bool = False):
+                      target_sharded: bool = False, axis: str = "map"):
     """Per-device body under shard_map: source points sharded over 'map'.
 
     Runs the full Gauss-Newton iteration with the only cross-device traffic
@@ -150,7 +150,7 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     def gn_iteration(C, r):
         ps_t = source_shard @ C.T + r
         if target_sharded:
-            nn6 = ring_nn(ps_t, target, "map")
+            nn6 = ring_nn(ps_t, target, axis)
         elif use_pallas:
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
             idx = nn_indices_pallas(ps_t, tgt_pts)
@@ -195,10 +195,10 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         A_local = J.T @ Jw                       # (k, k)
         b_local = J.T @ (w * res)                # (k,)
         cost_local = jnp.sum(w * res * res)
-        A = lax.psum(A_local, "map")
+        A = lax.psum(A_local, axis)
         A = A + _damping(cfg, A) * jnp.eye(k, dtype=dtype)
-        b = lax.psum(b_local, "map")
-        cost = lax.psum(cost_local, "map")
+        b = lax.psum(b_local, axis)
+        cost = lax.psum(cost_local, axis)
         from dicp_tpu.ops.smallsolve import solve_spd
         delta_k = -solve_spd(A, b) if cfg.solve_method == "closed" \
             else -jnp.linalg.solve(A, b[:, None])[:, 0]
@@ -242,6 +242,9 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         init = (C0, r0, jnp.int32(0), jnp.bool_(False), jnp.zeros((), dtype))
         C, r, it, done, cost = lax.while_loop(cond, body, init)
 
+    # the in-loop cost is evaluated at each iteration's INPUT pose; report
+    # the cost at the returned pose (one extra correspondence pass)
+    _, _, _, cost = gn_iteration(C, r)
     T = jnp.eye(4, dtype=dtype).at[:3, :3].set(C).at[:3, 3].set(r)
     return T, done, it, cost
 
@@ -279,7 +282,7 @@ def register_map_sharded(
         # pin MXU precision: the per-shard distance/Jacobian matmuls run
         # outside register()'s pinned scope
         with jax.default_matmul_precision("float32"):
-            return _map_sharded_body(cfg, *args)
+            return _map_sharded_body(cfg, *args, axis=axis)
     fn = jax.jit(
         jax.shard_map(
             body, mesh=mesh,
@@ -333,7 +336,7 @@ def register_ring_sharded(
     def body(src_s, w_s, tgt_s, t_init):
         with jax.default_matmul_precision("float32"):
             return _map_sharded_body(cfg, src_s, w_s, tgt_s, t_init,
-                                     target_sharded=True)
+                                     target_sharded=True, axis=axis)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -132,17 +132,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
     if cfg.differentiable and cfg.use_gumbel:
         nn6 = knn.gumbel_nn(ps_t, target, key, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps)
     else:
-        if cfg.use_pallas_nn:
-            from dicp_tpu.ops.pallas_knn import nn_indices_pallas
-
-            # stop_gradient: pallas_call has no AD rule, and the argmin index
-            # is gradient-detached in hard-NN semantics anyway
-            idx = nn_indices_pallas(lax.stop_gradient(ps_t),
-                                    lax.stop_gradient(target[..., :3]))
-            nn6 = knn.gather_rows(target, idx)
-        else:
-            nn6 = knn.find_nn(ps_t, target, differentiable=cfg.differentiable,
-                              use_pallas=cfg.use_pallas_nn)
+        # find_nn_normalized, NOT find_nn: inputs here are already (N, n, 3)
+        # and (N, m, 3|6); the public entry's transpose heuristic misreads
+        # 3-point clouds as (3, n) layout and corrupts correspondences.
+        nn6 = knn.find_nn_normalized(ps_t, target, use_pallas=cfg.use_pallas_nn)
 
     nn_err = ps_t - nn6[..., :3]                         # (N, n, 3)
 

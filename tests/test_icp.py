@@ -236,3 +236,19 @@ def test_find_nn_pallas_grad(source_np, target_np):
     g = jax.grad(loss)(y)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0)
+
+
+def test_three_point_clouds_not_transposed(target_np):
+    """Regression: the public NN shape heuristic misreads n==3 clouds as
+    (3, n) layout; the solver must bypass it for its internal normalized
+    arrays."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    # 3 source points drawn from the map; truth = identity
+    src = jnp.asarray(target_np[:3, :3][None])
+    tgt = jnp.asarray(target_np[None])
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=20,
+                    tolerance=1e-10, dim=2)
+    res = register_jit(src, tgt, jnp.eye(4, dtype=jnp.float64)[None], None, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(res.T[0]), np.eye(4), atol=1e-8)

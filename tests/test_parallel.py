@@ -173,3 +173,19 @@ def test_ring_sharded_pt2pt_and_padding(source_np, target_np):
     res = register_ring_sharded(mesh, jnp.asarray(source_np[:, :3]),
                                 jnp.asarray(target_np[:, :3]), cfg=cfg)
     assert _err(_t_true(), np.asarray(res.T)) < 1e-6
+
+
+def test_map_sharded_nondefault_axis(source_np, target_np):
+    """Regression: the psum/ring axis was hardcoded to 'map' — sharding over
+    a different axis silently solved with un-reduced partial normal
+    equations."""
+    from dicp_tpu.parallel import register_ring_sharded
+
+    mesh = make_mesh((8, 1))  # all devices on 'batch'
+    res = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                               jnp.asarray(target_np), cfg=CFG, axis="batch")
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-7
+
+    res2 = register_ring_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                                 jnp.asarray(target_np), cfg=CFG, axis="batch")
+    assert _err(_t_true(), np.asarray(res2.T)) < 1e-7

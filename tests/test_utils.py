@@ -43,3 +43,23 @@ def test_visualization_saves(tmp_path, source_np, target_np):
     p2 = os.path.join(tmp_path, "map.png")
     plot_map(source_np[:, :3], file_name=p2)
     assert os.path.getsize(p2) > 0
+
+
+def test_voxel_large_extent_no_overflow():
+    """Regression: linearized int32 cell keys overflow for large grids and
+    silently merge unrelated voxels; the lexsort keying must not."""
+    from dicp_tpu.ops.voxel import voxel_downsample
+
+    rng = np.random.default_rng(0)
+    # two tight clusters separated by 4 km at 5 cm voxels: extents ~8e4 per
+    # axis -> a linearized key needs ~2^50
+    a = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    b = a + np.array([4000.0, 4000.0, 2000.0], np.float32)
+    pts = jnp.asarray(np.vstack([a, b]))
+    out = voxel_downsample(pts, 0.05)
+    n_cells = int(out.count)
+    # clusters must not merge: every centroid belongs clearly to one cluster
+    cents = np.asarray(out.points)[:n_cells]
+    d_a = np.linalg.norm(cents - np.mean(a, 0), axis=1)
+    d_b = np.linalg.norm(cents - np.mean(b, 0), axis=1)
+    assert np.all((d_a < 10) | (d_b < 10)), "voxel key overflow merged clusters"
