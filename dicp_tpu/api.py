@@ -262,6 +262,11 @@ class ICP:
              loss_fn=None, dim=3, key: Optional[jax.Array] = None):
         """Main entry point, mirroring ICP.dICP (dICP/ICP.py:49-78)."""
         assert dim == 2 or dim == 3, "dim must be 2 or 3"
+        if self.icp_type == "symmetric":
+            raise NotImplementedError(
+                "symmetric ICP needs 6-column sources, which the reference-"
+                "compatible input normalizer strips; call "
+                "dicp_tpu.register(...) directly with (N, n, 6) sources")
         cfg = self._call_cfg(trim_dist, loss_fn, dim)
         src, tgt, ti, w = batch_size_handling(
             source, target, T_init, weight, target_pad_val=cfg.target_pad_val)

@@ -33,7 +33,7 @@ class ICPConfig:
     and ``remat`` (rematerialize the GN step in reverse mode).
     """
 
-    icp_type: str = "pt2pl"  # 'pt2pl' | 'pt2pt'
+    icp_type: str = "pt2pl"  # 'pt2pl' | 'pt2pt' | 'symmetric'
     max_iterations: int = 100
     tolerance: float = 1e-12
     differentiable: bool = True
@@ -67,8 +67,9 @@ class ICPConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the diff driver
 
     def __post_init__(self):
-        if self.icp_type not in ("pt2pt", "pt2pl"):
-            raise ValueError(f"icp_type must be 'pt2pt' or 'pt2pl', got {self.icp_type}")
+        if self.icp_type not in ("pt2pt", "pt2pl", "symmetric"):
+            raise ValueError(
+                f"icp_type must be pt2pt|pt2pl|symmetric, got {self.icp_type}")
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")  # dICP/ICP.py:79
         if self.loss_name is not None:

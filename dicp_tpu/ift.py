@@ -242,6 +242,9 @@ def register_ift(
     """
     if cfg.use_gumbel:
         raise ValueError("IFT gradients require hard (deterministic) NN")
+    if cfg.icp_type == "symmetric":
+        raise NotImplementedError("IFT gradients not implemented for symmetric "
+                                  "ICP; use the unrolled register() path")
     with jax.default_matmul_precision("float32"):
         # ONE forward solve: the custom_vjp returns the full ICPResult
         # (histories/stats detached by contract); pc is recomputed

@@ -140,6 +140,8 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     sharded too and correspondences come from :func:`ring_nn` (adds the ring
     ppermute traffic, removes the replicated-map memory requirement).
     """
+    if cfg.icp_type == "symmetric":
+        raise NotImplementedError("map-sharded solver supports pt2pt/pt2pl")
     dtype = source_shard.dtype
     C0 = T_init[:3, :3]
     r0 = T_init[:3, 3]

@@ -84,28 +84,34 @@ def _damping(cfg: ICPConfig, A: jnp.ndarray, use_abs: bool = False) -> jnp.ndarr
 def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
     """Input normalization done once before the loop (dICP/ICP.py:85-129)."""
     n = source.shape[-2]
-    source = source[..., :3]
+    if cfg.icp_type == "symmetric":
+        # symmetric point-to-plane (Rusinkiewicz 2019): residual along the
+        # SUM of both clouds' normals -> normals required on both sides
+        if source.shape[-1] < 6 or target.shape[-1] != 6:
+            raise ValueError("symmetric ICP requires normals on BOTH clouds: "
+                             "source (N, n, 6), target (N, m, 6)")
+        source = source[..., :6]
+    else:
+        source = source[..., :3]
     if cfg.icp_type == "pt2pl":
         if target.shape[-1] != 6:
             raise ValueError("pt2pl requires target normals: (N, m, 6)")  # dICP/ICP.py:101-103
-    else:
+    elif cfg.icp_type == "pt2pt":
         target = target[..., :3]
 
     if cfg.dim == 2:
         # Zero z so it cannot influence NN or residuals (dICP/ICP.py:107-116);
         # pt2pl keeps the in-plane normal components, zeroes normal z.
         zmask = jnp.array([1.0, 1.0, 0.0], dtype=source.dtype)
-        source = source * zmask
-        if target.shape[-1] == 6:
-            target = target * jnp.concatenate([zmask, zmask])
-        else:
-            target = target * zmask
+        zmask6 = jnp.concatenate([zmask, zmask])
+        source = source * (zmask6 if source.shape[-1] == 6 else zmask)
+        target = target * (zmask6 if target.shape[-1] == 6 else zmask)
 
     if weight is None:
         weight = jnp.ones(source.shape[:-1], dtype=source.dtype)
     if cfg.source_zeroes_are_pad:
         # all-zero source rows are padding -> weight 0 (dICP/ICP.py:445-446)
-        weight = weight * (jnp.linalg.norm(source, axis=-1) != 0.0).astype(source.dtype)
+        weight = weight * (jnp.linalg.norm(source[..., :3], axis=-1) != 0.0).astype(source.dtype)
     if cfg.icp_type == "pt2pt":
         # one weight per error component (dICP/ICP.py:508-509)
         weight = jnp.repeat(weight, 3, axis=-1)
@@ -123,9 +129,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
     """
     dtype = source.dtype
     N, n = source.shape[0], source.shape[1]
+    src_pts = source[..., :3]
 
     # Transform into the current target-frame estimate.
-    cp = jnp.einsum("nij,npj->npi", C, source)          # C @ ps_s (rotated only)
+    cp = jnp.einsum("nij,npj->npi", C, src_pts)         # C @ ps_s (rotated only)
     ps_t = cp + r[:, None, :]                            # dICP/ICP.py:137
 
     # Correspondences carry the full target rows (normals ride along).
@@ -143,6 +150,13 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
         nn_norm = nn6[..., 3:6]
         err = jnp.sum(nn_err * nn_norm, axis=-1)         # (N, n)  dICP/ICP.py:146
         loss_err = err[..., None]                        # norm over last axis = |e|
+    elif cfg.icp_type == "symmetric":
+        # residual along the sum of both normals (source normal rotated into
+        # the target frame): e = (p' - q) . (n_q + C n_p)
+        cnp = jnp.einsum("nij,npj->npi", C, source[..., 3:6])
+        nn_norm = nn6[..., 3:6] + cnp
+        err = jnp.sum(nn_err * nn_norm, axis=-1)         # (N, n)
+        loss_err = err[..., None]
     else:
         err = None
         loss_err = nn_err                                # 3-component error per point
@@ -166,6 +180,13 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
         J = jnp.concatenate([J_C, -nn_norm], axis=-1)    # (N, n, 6)
         res = err                                        # (N, n)
         w = w_init * trim_w * loss_w                     # (N, n)
+    elif cfg.icp_type == "symmetric":
+        # under the solver's retraction C <- exp(d)^T C:
+        #   de/domega = (n_q + Cn_p) x Cp + (p' - q) x Cn_p,  de/drho = -(n_q + Cn_p)
+        J_C = jnp.cross(nn_norm, cp) + jnp.cross(nn_err, cnp)
+        J = jnp.concatenate([J_C, -nn_norm], axis=-1)    # (N, n, 6)
+        res = err
+        w = w_init * trim_w * loss_w
     else:
         J_C = se3.skew(cp).reshape(N, 3 * n, 3)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, n, 3, 3)).reshape(N, 3 * n, 3)
@@ -367,7 +388,7 @@ def _finalize(cfg: ICPConfig, source, carry: _Carry, deltas, weights, costs, it_
     num_start = jnp.where(num_start == 0, jnp.ones_like(num_start), num_start)
     match_ratio = jnp.where(carry.match_ratio == 0, num_curr / num_start, carry.match_ratio)
 
-    pc = jnp.einsum("nij,npj->npi", carry.C, source) + carry.r[:, None, :]  # dICP/ICP.py:274
+    pc = jnp.einsum("nij,npj->npi", carry.C, source[..., :3]) + carry.r[:, None, :]  # dICP/ICP.py:274
     N = source.shape[0]
     T_ts = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
     T_ts = T_ts.at[:, :3, :3].set(carry.C).at[:, :3, 3].set(carry.r)

@@ -252,3 +252,77 @@ def test_three_point_clouds_not_transposed(target_np):
                     tolerance=1e-10, dim=2)
     res = register_jit(src, tgt, jnp.eye(4, dtype=jnp.float64)[None], None, cfg=cfg)
     np.testing.assert_allclose(np.asarray(res.T[0]), np.eye(4), atol=1e-8)
+
+
+def _planes_scene(rng, n=600):
+    """Three orthogonal noisy planes with exact normals, both columns."""
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts, nrm = [], []
+    for k in range(3):
+        uv = rng.uniform(-5, 5, size=(n // 3, 2))
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (2.0 + k))
+        nrm.append(np.tile(normals[k], (n // 3, 1)))
+    return np.hstack([np.vstack(pts), np.vstack(nrm)])
+
+
+def test_symmetric_icp_recovers_transform():
+    """Symmetric point-to-plane (Rusinkiewicz 2019): residual along the sum
+    of both clouds' normals; must recover the truth on a 3-D scene."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(0)
+    scene = _planes_scene(rng)
+    xi = jnp.asarray([0.3, -0.2, 0.1, 0.04, -0.02, 0.05])
+    T_st = se3.vec2tran(xi)
+    src_pts = scene[:, :3] @ np.asarray(T_st)[:3, :3].T + np.asarray(T_st)[:3, 3]
+    src_nrm = scene[:, 3:6] @ np.asarray(T_st)[:3, :3].T
+    source = jnp.asarray(np.hstack([src_pts, src_nrm]))[None]
+    target = jnp.asarray(scene)[None]
+
+    cfg = ICPConfig(icp_type="symmetric", differentiable=False,
+                    max_iterations=60, tolerance=1e-12, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=1.0)
+    res = register_jit(source, target, jnp.eye(4, dtype=jnp.float64)[None],
+                       None, cfg=cfg)
+    T_true = se3.tran_inv(T_st)
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    assert bool(res.converged[0])
+    assert err < 1e-9, f"symmetric err {err}"
+
+    # symmetric converges at least as fast as plain pt2pl on the same data
+    cfg_pl = cfg.with_(icp_type="pt2pl")
+    res_pl = register_jit(source, target, jnp.eye(4, dtype=jnp.float64)[None],
+                          None, cfg=cfg_pl)
+    assert float(res.iterations[0]) <= float(res_pl.iterations[0]) + 1
+
+
+def test_symmetric_icp_differentiable():
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register
+
+    rng = np.random.default_rng(1)
+    scene = _planes_scene(rng, n=300)
+    source = jnp.asarray(scene)[None]
+    target = jnp.asarray(scene)[None]
+    cfg = ICPConfig(icp_type="symmetric", differentiable=True,
+                    max_iterations=10, tolerance=1e-10, dim=3)
+
+    g = jax.grad(lambda s: jnp.sum(register(s, target,
+                                            jnp.eye(4, dtype=jnp.float64)[None],
+                                            None, cfg).T))(source)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_symmetric_requires_normals():
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register
+
+    cfg = ICPConfig(icp_type="symmetric", dim=3)
+    with pytest.raises(ValueError, match="normals on BOTH"):
+        register(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 6)),
+                 jnp.eye(4)[None], None, cfg)
