@@ -326,3 +326,22 @@ def test_symmetric_requires_normals():
     with pytest.raises(ValueError, match="normals on BOTH"):
         register(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 6)),
                  jnp.eye(4)[None], None, cfg)
+
+
+def test_register_vmappable(source_np, target_np):
+    """The functional core composes with jax.vmap (nested batching: an outer
+    vmap over parameter sets on top of the solver's own batch dim)."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register
+
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=20,
+                    tolerance=1e-8, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+    src = jnp.asarray(np.stack([source_np[:, :3]] * 2))[None].repeat(3, axis=0)
+    tgt = jnp.asarray(np.stack([target_np] * 2))[None].repeat(3, axis=0)
+    ti = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float64), (3, 2, 4, 4))
+
+    out = jax.vmap(lambda s, t, i: register(s, t, i, None, cfg).T)(src, tgt, ti)
+    assert out.shape == (3, 2, 4, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[2]), atol=1e-12)
