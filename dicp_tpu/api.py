@@ -52,13 +52,19 @@ def batch_size_handling(
     T_init=None,
     weight=None,
     target_pad_val: float = 1000.0,
+    keep_source_normals: bool = False,
 ):
     """Normalize (possibly ragged) inputs to dense batched jnp arrays.
 
-    Returns (source (N,n,3), target (N,m,3|6), T_init (N,4,4) or None,
+    Returns (source (N,n,3|6), target (N,m,3|6), T_init (N,4,4) or None,
     weight (N,n)).  Unlike the reference (dICP/ICP.py:508-509) the weight is
     NOT pt2pt-expanded here — the functional core does that internally.
+
+    ``keep_source_normals`` preserves 6-column sources (required by
+    symmetric ICP, which reads source normals; the reference normalizer
+    always strips them, dICP/ICP.py:371).
     """
+    src_cols = 6 if keep_source_normals else 3
     # ---- phony path: entire source/target missing (dICP/ICP.py:329-346)
     if _is_empty(source) or _is_empty(target):
         dt = jnp.float32
@@ -66,7 +72,7 @@ def batch_size_handling(
         # phony clouds sized to the T_init batch, so a batched T_init passes
         # through unchanged instead of shape-crashing in the solver
         N = ti.shape[0]
-        src = jnp.zeros((N, 1, 3), dtype=dt)
+        src = jnp.zeros((N, 1, src_cols), dtype=dt)
         tgt = jnp.zeros((N, 1, 6), dtype=dt)
         w = jnp.zeros((N, 1), dtype=dt)
         return src, tgt, ti, w
@@ -99,12 +105,24 @@ def batch_size_handling(
                 raise ValueError("source must be (n x 3/6) or (N x n x 3/6) or list")
 
     is_list = isinstance(source, (list, tuple))
+    # Validate batch-length agreement up front: a dense (N, n, 3) source
+    # lifted against an M != N target list (or a short weight list) would
+    # otherwise surface as an opaque stack/einsum shape error in the solver.
+    if is_list and len(source) != len(target):
+        raise ValueError(
+            f"source and target batch lengths disagree: {len(source)} source "
+            f"clouds vs {len(target)} target clouds")
     if weight is not None:
         if is_list:
-            assert len(source) == len(weight), "weight must be list of same length as source"
+            if len(source) != len(weight):
+                raise ValueError(
+                    f"weight batch length {len(weight)} != source batch "
+                    f"length {len(source)}")
         else:
-            assert jnp.asarray(source).shape[0] == jnp.asarray(weight).shape[0], \
-                "weight must have same number of rows as source"
+            if jnp.asarray(source).shape[0] != jnp.asarray(weight).shape[0]:
+                raise ValueError(
+                    f"weight has {jnp.asarray(weight).shape[0]} rows but "
+                    f"source has {jnp.asarray(source).shape[0]}")
 
     if is_list:
         dt = _result_dtype(target)
@@ -112,15 +130,20 @@ def batch_size_handling(
         src_rows, w_rows = [], []
         for i, s in enumerate(source):
             if _is_empty(s):
-                src_rows.append(jnp.zeros((n_max, 3), dtype=dt))
+                src_rows.append(jnp.zeros((n_max, src_cols), dtype=dt))
                 w_rows.append(jnp.zeros((n_max,), dtype=dt))
                 continue
             s = jnp.asarray(s, dtype=dt)
             if s.ndim != 2 or s.shape[1] not in (3, 6):
                 raise ValueError("source list must contain (n x 3/6) tensors")
+            if keep_source_normals and s.shape[1] != 6:
+                raise ValueError("symmetric ICP requires 6-column sources "
+                                 "(coordinates + normals); got shape "
+                                 f"{tuple(s.shape)}")
             ni = s.shape[0]
             src_rows.append(jnp.concatenate(
-                [s[:, :3], jnp.zeros((n_max - ni, 3), dtype=dt)], axis=0))
+                [s[:, :src_cols],
+                 jnp.zeros((n_max - ni, src_cols), dtype=dt)], axis=0))
             if weight is not None and weight[i] is not None:
                 wi = jnp.asarray(weight[i], dtype=dt)
                 assert wi.shape[0] == ni, "weight must have same number of rows as source"
@@ -163,10 +186,14 @@ def batch_size_handling(
     else:
         s = jnp.asarray(source)
         dt = s.dtype
+        if keep_source_normals and s.shape[-1] != 6:
+            raise ValueError("symmetric ICP requires 6-column sources "
+                             "(coordinates + normals); got shape "
+                             f"{tuple(s.shape)}")
         if s.ndim == 2 and s.shape[1] in (3, 6):
-            src = s[None, :, :3]
+            src = s[None, :, :src_cols]
         elif s.ndim == 3 and s.shape[2] in (3, 6):
-            src = s[:, :, :3]
+            src = s[:, :, :src_cols]
         else:
             raise ValueError("source must be (n x 3/6) or (N x n x 3/6) or list len(N)")
         if weight is None:
@@ -260,16 +287,16 @@ class ICP:
 
     def dICP(self, source, target, T_init, weight=None, trim_dist=None,
              loss_fn=None, dim=3, key: Optional[jax.Array] = None):
-        """Main entry point, mirroring ICP.dICP (dICP/ICP.py:49-78)."""
+        """Main entry point, mirroring ICP.dICP (dICP/ICP.py:49-78).
+
+        ``icp_type='symmetric'`` (no reference counterpart) requires
+        6-column sources — the normalizer keeps their normal columns.
+        """
         assert dim == 2 or dim == 3, "dim must be 2 or 3"
-        if self.icp_type == "symmetric":
-            raise NotImplementedError(
-                "symmetric ICP needs 6-column sources, which the reference-"
-                "compatible input normalizer strips; call "
-                "dicp_tpu.register(...) directly with (N, n, 6) sources")
         cfg = self._call_cfg(trim_dist, loss_fn, dim)
         src, tgt, ti, w = batch_size_handling(
-            source, target, T_init, weight, target_pad_val=cfg.target_pad_val)
+            source, target, T_init, weight, target_pad_val=cfg.target_pad_val,
+            keep_source_normals=(self.icp_type == "symmetric"))
         if ti is None:
             ti = jnp.broadcast_to(jnp.eye(4, dtype=src.dtype), (src.shape[0], 4, 4))
         elif ti.shape[0] == 1 and src.shape[0] > 1:
@@ -280,7 +307,10 @@ class ICP:
         result = register_jit(src, tgt, ti, w, cfg=cfg, key=key)
         result = slice_histories(result)
         if self.verbose:
+            # iteration count + final step norm (dICP/ICP.py:262-264; the
+            # reference norms the whole (N, 6, 1) final-delta stack)
             print(f"ICP converged in {int(jnp.max(result.iterations))} iterations")
+            print(f"Final del_T_ts: {float(jnp.linalg.norm(result.deltas[:, -1]))}")
         return _to_results_dict(result)
 
 

@@ -59,6 +59,11 @@ class ICPConfig:
     tikhonov: Optional[float] = None
     driver: str = "auto"  # 'auto' | 'scan' | 'while'
     remat: bool = False
+    # False: skip the per-iteration costs/deltas/weights histories (the
+    # result carries length-1 placeholders holding the final values).  The
+    # weight history alone is O(T*N*P) HBM traffic — at B=4096 it dominates
+    # the solve; inference/training-throughput paths should disable it.
+    collect_histories: bool = True
     use_pallas_nn: Optional[bool] = None
     # Normal-equation solve: 'closed' = pivot-free Cramer/Schur closed form
     # (fuses to VPU elementwise ops; valid because A is SPD), 'lu' = XLA's

@@ -99,27 +99,22 @@ def _fp_bwd(cfg, saved, res_bar):
     C_star = T[:, :3, :3]
     r_star = T[:, :3, 3]
 
-    # Preprocessing identical to the solver (z zeroing for dim=2 etc.).
-    # KEEP IN SYNC with registration._preprocess — not shared because the
-    # solver expands pt2pt weights x3 (one per error component) while the
-    # stationarity here applies per-point weights to 3-vectors directly.
-    src = source[..., :3]
-    tgt = target if cfg.icp_type == "pt2pl" else target[..., :3]
-    if cfg.dim == 2:
-        zmask = jnp.array([1.0, 1.0, 0.0], dtype=dtype)
-        src = src * zmask
-        tgt = tgt * (jnp.concatenate([zmask, zmask]) if tgt.shape[-1] == 6 else zmask)
-    if weight is None:
-        w_prior = jnp.ones(src.shape[:-1], dtype=dtype)
-    else:
-        w_prior = weight
-    if cfg.source_zeroes_are_pad:
-        w_prior = w_prior * (jnp.linalg.norm(src, axis=-1) != 0.0).astype(dtype)
+    # Preprocessing shared with the solver (z zeroing for dim=2 etc.) via
+    # registration._preprocess — the solver's pt2pt x3 weight expansion is
+    # undone because the stationarity here applies per-point weights to
+    # 3-vectors directly.
+    from dicp_tpu.registration import _preprocess
+
+    src, tgt, w_prior, _, _ = _preprocess(
+        cfg, source, target,
+        jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4)), weight)
+    if cfg.icp_type == "pt2pt":
+        w_prior = w_prior[..., ::3]            # undo the x3 expansion
 
     # fixed correspondences at theta* — Pallas dispatch for large clouds
     # (the dense path materializes the (N, n, m) distance matrix the forward
     # deliberately avoids)
-    ps_t = jnp.einsum("nij,npj->npi", C_star, src) + r_star[:, None, :]
+    ps_t = jnp.einsum("nij,npj->npi", C_star, src[..., :3]) + r_star[:, None, :]
     n_, m_ = ps_t.shape[-2], tgt.shape[-2]
     if n_ * m_ > knn._PALLAS_THRESHOLD and jax.default_backend() != "cpu":
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
@@ -159,22 +154,33 @@ def _fp_bwd(cfg, saved, res_bar):
     _, g_vjp = jax.vjp(lambda s, t, wp: G_full(zero_xi, s, t, wp), src, tgt, w_prior)
     src_bar, tgt_bar, wp_bar = g_vjp(-lam)
 
-    # undo preprocessing on cotangents: src was sliced/zmasked from source
+    # undo preprocessing on cotangents: src/tgt were sliced AND zmasked from
+    # source/target (dim=2), w_prior masked by the zero-pad rule — each
+    # linear map's transpose must be applied to the cotangents too.
+    if cfg.dim == 2:
+        zmask = jnp.array([1.0, 1.0, 0.0], dtype=dtype)
+        zmask6 = jnp.concatenate([zmask, zmask])
+        src_bar = src_bar * (zmask6 if src.shape[-1] == 6 else zmask)
+        tgt_bar = tgt_bar * (zmask6 if tgt.shape[-1] == 6 else zmask)
     source_bar = jnp.zeros_like(source)
-    source_bar = source_bar.at[..., :3].set(src_bar)
+    source_bar = source_bar.at[..., :src.shape[-1]].set(src_bar)
     target_bar = jnp.zeros_like(target)
-    if cfg.icp_type == "pt2pl":
-        target_bar = tgt_bar
+    target_bar = target_bar.at[..., :tgt.shape[-1]].set(tgt_bar)
+    if weight is None:
+        weight_bar = None
     else:
-        target_bar = target_bar.at[..., :3].set(tgt_bar)
-    weight_bar = None if weight is None else wp_bar
+        weight_bar = wp_bar
+        if cfg.source_zeroes_are_pad:
+            weight_bar = weight_bar * (
+                jnp.linalg.norm(src[..., :3], axis=-1) != 0.0).astype(dtype)
     T_init_bar = jnp.zeros_like(T)  # fixed point forgets its initialization
     return source_bar, target_bar, weight_bar, T_init_bar
 
 
 def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior):
     """_stationarity with the prior weight folded in (w = w_prior*trim*loss,
-    matching dICP/ICP.py:169)."""
+    matching dICP/ICP.py:169).  ``source`` is (N, n, 3) — or (N, n, 6) for
+    symmetric ICP, whose residual reads the source normals too."""
     dtype = source.dtype
     N, n = source.shape[0], source.shape[1]
     if cfg.dim == 2:
@@ -185,7 +191,7 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
     del_C = se3.exp_so3(xi6[:, :3])
     C = jnp.swapaxes(del_C, -1, -2) @ C_star
     r = r_star - xi6[:, 3:]
-    cp = jnp.einsum("nij,npj->npi", C, source)
+    cp = jnp.einsum("nij,npj->npi", C, source[..., :3])
     ps_t = cp + r[:, None, :]
     nn6 = knn.gather_rows(target, idx)
     nn_err = ps_t - nn6[..., :3]
@@ -195,8 +201,14 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
     else:
         trim_w = jnp.ones((N, n), dtype=dtype)
 
-    if cfg.icp_type == "pt2pl":
-        nrm = nn6[..., 3:6]
+    if cfg.icp_type in ("pt2pl", "symmetric"):
+        if cfg.icp_type == "symmetric":
+            # residual along the sum of both normals, the source normal
+            # rotated into the target frame (registration._gn_step:153-159)
+            cnp = jnp.einsum("nij,npj->npi", C, source[..., 3:6])
+            nrm = nn6[..., 3:6] + cnp
+        else:
+            nrm = nn6[..., 3:6]
         res = jnp.sum(nn_err * nrm, axis=-1)
         if cfg.loss_name is not None:
             loss_w = losses.robust_weight(cfg.loss_name, res[..., None],
@@ -204,7 +216,10 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
         else:
             loss_w = jnp.ones((N, n), dtype=dtype)
         w = _solver_weight(w_prior * trim_w * loss_w)
-        J = jnp.concatenate([jnp.cross(nrm, cp), -nrm], axis=-1)
+        J_C = jnp.cross(nrm, cp)
+        if cfg.icp_type == "symmetric":
+            J_C = J_C + jnp.cross(nn_err, cnp)
+        J = jnp.concatenate([J_C, -nrm], axis=-1)
         if cfg.dim == 2:
             J = J[..., 2:5]
         return jnp.einsum("npk,np->nk", J, w * res)
@@ -242,9 +257,6 @@ def register_ift(
     """
     if cfg.use_gumbel:
         raise ValueError("IFT gradients require hard (deterministic) NN")
-    if cfg.icp_type == "symmetric":
-        raise NotImplementedError("IFT gradients not implemented for symmetric "
-                                  "ICP; use the unrolled register() path")
     with jax.default_matmul_precision("float32"):
         # ONE forward solve: the custom_vjp returns the full ICPResult
         # (histories/stats detached by contract); pc is recomputed

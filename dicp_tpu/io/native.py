@@ -104,9 +104,23 @@ def voxel_downsample_host(points: np.ndarray, voxel: float,
     All columns are averaged per cell (normals included); output order is by
     first occurrence (deterministic).  Matches the device-side
     :func:`dicp_tpu.ops.voxel.voxel_downsample` semantics up to ordering.
+
+    Cell keys pack 21 bits per axis, so the cloud may span at most 2**21
+    (~2.1M) cells along each axis (e.g. 210 km at a 0.1 m voxel); wider
+    extents would silently alias cells 2**21 apart, so they raise instead.
     """
     pts = np.ascontiguousarray(points, np.float32)
     n, stride = pts.shape
+    if n:
+        cmin = np.floor(pts[:, :3].min(axis=0) / voxel)
+        cmax = np.floor(pts[:, :3].max(axis=0) / voxel)
+        span = cmax - cmin
+        if np.any(span >= float(1 << 21)):
+            ax = "xyz"[int(np.argmax(span))]
+            raise ValueError(
+                f"voxel_downsample_host: cloud spans {int(span.max())} cells "
+                f"along {ax} (max 2**21 = {1 << 21} per axis at voxel="
+                f"{voxel}); increase the voxel size or tile the cloud")
     lib = _load_lib()
     if lib is not None and stride <= 8:
         out = np.empty_like(pts)

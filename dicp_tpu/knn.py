@@ -76,18 +76,71 @@ def gumbel_nn(
     key: jax.Array,
     tau: float = 0.1,
     eps: float = 1e-10,
+    chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Gumbel-softmax soft 1-NN (dICP/nn.py:43-70).
 
     neighbor = softmax((-d^2 + gumbel_noise) / tau) @ y — a convex
     combination, so gradients reach the query and ALL target rows.
+
+    Above ``_PALLAS_THRESHOLD`` distance entries the softmax streams over
+    target chunks with an online (flash-attention-style) max/denominator
+    rescaling, so the (..., n, m) logits matrix is never materialized — the
+    reference's Gumbel memory hot spot (dICP/nn.py:51-56) removed.  The
+    streaming path folds the chunk index into ``key`` (a different — equally
+    valid — noise stream than the dense path).  ``chunk`` forces a chunk
+    size (None = auto).
     """
-    d2 = pairwise_sq_dist(x, y[..., :3])
-    logits = -d2
-    u = jax.random.uniform(key, shape=logits.shape, dtype=logits.dtype)
-    noise = -jnp.log(-jnp.log(u + eps) + eps)
-    probs = jax.nn.softmax((logits + noise) / tau, axis=-1)
-    return jnp.einsum("...nm,...mc->...nc", probs, y)
+    n, m = x.shape[-2], y.shape[-2]
+    if chunk is None and n * m <= _PALLAS_THRESHOLD:
+        d2 = pairwise_sq_dist(x, y[..., :3])
+        logits = -d2
+        u = jax.random.uniform(key, shape=logits.shape, dtype=logits.dtype)
+        noise = -jnp.log(-jnp.log(u + eps) + eps)
+        probs = jax.nn.softmax((logits + noise) / tau, axis=-1)
+        return jnp.einsum("...nm,...mc->...nc", probs, y)
+    if chunk is None:
+        chunk = max(128, min(m, _PALLAS_THRESHOLD // max(n, 1)))
+    return _gumbel_nn_stream(x, y, key, tau, eps, chunk)
+
+
+def _gumbel_nn_stream(x, y, key, tau, eps, chunk):
+    """Online-softmax Gumbel NN over target chunks; O(n*chunk) live memory."""
+    from jax import lax
+
+    dtype = x.dtype
+    m, c = y.shape[-2], y.shape[-1]
+    nchunks = -(-m // chunk)
+    pad = nchunks * chunk - m
+    y_pad = jnp.concatenate(
+        [y, jnp.zeros(y.shape[:-2] + (pad, c), dtype)], axis=-2) if pad else y
+    qshape = x.shape[:-1]                     # (..., n)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def step(carry, i):
+        run_max, run_den, run_num = carry
+        yc = lax.dynamic_slice_in_dim(y_pad, i * chunk, chunk, axis=-2)
+        d2 = pairwise_sq_dist(x, yc[..., :3])              # (..., n, chunk)
+        u = jax.random.uniform(jax.random.fold_in(key, i), shape=d2.shape,
+                               dtype=dtype)
+        s = (-d2 - jnp.log(-jnp.log(u + eps) + eps)) / tau
+        col = jnp.arange(chunk) + i * chunk
+        s = jnp.where(col < m, s, neg_inf)                 # mask padding
+        new_max = jnp.maximum(run_max, jnp.max(s, axis=-1))
+        # rescale previous accumulators into the new max's frame
+        corr = jnp.exp(run_max - new_max)
+        p = jnp.exp(s - new_max[..., None])
+        run_den = run_den * corr + jnp.sum(p, axis=-1)
+        run_num = run_num * corr[..., None] + jnp.einsum(
+            "...nm,...mc->...nc", p, yc,
+            precision=jax.lax.Precision.HIGHEST)
+        return (new_max, run_den, run_num), None
+
+    carry0 = (jnp.full(qshape, neg_inf, dtype),
+              jnp.zeros(qshape, dtype),
+              jnp.zeros(qshape + (c,), dtype))
+    (_, den, num), _ = lax.scan(step, carry0, jnp.arange(nchunks))
+    return num / den[..., None]
 
 
 def _handle_dimensions(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

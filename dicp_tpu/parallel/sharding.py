@@ -140,17 +140,18 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     sharded too and correspondences come from :func:`ring_nn` (adds the ring
     ppermute traffic, removes the replicated-map memory requirement).
     """
-    if cfg.icp_type == "symmetric":
-        raise NotImplementedError("map-sharded solver supports pt2pt/pt2pl")
     dtype = source_shard.dtype
     C0 = T_init[:3, :3]
     r0 = T_init[:3, 3]
 
+    src_pts = source_shard[:, :3]
+    src_nrm = source_shard[:, 3:6] if cfg.icp_type == "symmetric" else None
     tgt_pts = target[:, :3]
     use_pallas = bool(cfg.use_pallas_nn)
 
     def gn_iteration(C, r):
-        ps_t = source_shard @ C.T + r
+        cp = src_pts @ C.T
+        ps_t = cp + r
         if target_sharded:
             nn6 = ring_nn(ps_t, target, axis)
         elif use_pallas:
@@ -166,15 +167,23 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
             w = w * losses.trim_weight(nn_err, cfg.trim_dist,
                                        cfg.differentiable, cfg.tanh_steepness)
-        cp = source_shard @ C.T
-        if cfg.icp_type == "pt2pl":
-            nrm = nn6[:, 3:6]
+        if cfg.icp_type in ("pt2pl", "symmetric"):
+            if cfg.icp_type == "symmetric":
+                # residual along the sum of both normals (the source normal
+                # rotated into the target frame), registration._gn_step
+                cnp = src_nrm @ C.T
+                nrm = nn6[:, 3:6] + cnp
+            else:
+                nrm = nn6[:, 3:6]
             res = jnp.sum(nn_err * nrm, axis=-1)          # (n_local,)
             if cfg.loss_name is not None:
                 w = w * losses.robust_weight(cfg.loss_name, res[:, None],
                                              cfg.loss_metric, cfg.differentiable,
                                              cfg.tanh_steepness)
-            J = jnp.concatenate([jnp.cross(nrm, cp), -nrm], axis=-1)  # (n_local, 6)
+            J_C = jnp.cross(nrm, cp)
+            if cfg.icp_type == "symmetric":
+                J_C = J_C + jnp.cross(nn_err, cnp)
+            J = jnp.concatenate([J_C, -nrm], axis=-1)     # (n_local, 6)
         else:
             if cfg.loss_name is not None:
                 w = w * losses.robust_weight(cfg.loss_name, nn_err,
@@ -271,13 +280,18 @@ def register_map_sharded(
     n = source.shape[0]
     n_dev = mesh.shape[axis]
     dtype = source.dtype
+    src_cols = 6 if cfg.icp_type == "symmetric" else 3
+    if cfg.icp_type == "symmetric" and source.shape[1] < 6:
+        raise ValueError("symmetric ICP requires 6-column sources "
+                         "(coordinates + normals)")
     if T_init is None:
         T_init = jnp.eye(4, dtype=dtype)
     if weight is None:
         weight = jnp.ones((n,), dtype=dtype)
     pad = (-n) % n_dev
     if pad:
-        source = jnp.concatenate([source, jnp.zeros((pad, 3), dtype=dtype)])
+        source = jnp.concatenate(
+            [source, jnp.zeros((pad, source.shape[1]), dtype=dtype)])
         weight = jnp.concatenate([weight, jnp.zeros((pad,), dtype=dtype)])
 
     def body(*args):
@@ -293,7 +307,7 @@ def register_map_sharded(
         ),
         static_argnums=(),
     )
-    T, done, it, cost = fn(source[:, :3], weight, target, T_init)
+    T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
     return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
 
 
@@ -317,17 +331,29 @@ def register_ring_sharded(
     Target padding uses a far-away sentinel row (coordinates 1e15) so padded
     rows can never win a distance comparison — the ring accumulator keeps
     them out without masks.
+
+    Tie-break deviation: when a query is exactly equidistant to points in
+    DIFFERENT target shards, the winner is the first shard visited in ring
+    order (each device starts from its own shard), not the globally lowest
+    index that the single-device solver would pick.  Immaterial for real
+    scan data; exact-tie inputs may differ from ``register`` by the choice
+    among equal-distance correspondences.
     """
     n, m = source.shape[0], target.shape[0]
     n_dev = mesh.shape[axis]
     dtype = source.dtype
+    src_cols = 6 if cfg.icp_type == "symmetric" else 3
+    if cfg.icp_type == "symmetric" and source.shape[1] < 6:
+        raise ValueError("symmetric ICP requires 6-column sources "
+                         "(coordinates + normals)")
     if T_init is None:
         T_init = jnp.eye(4, dtype=dtype)
     if weight is None:
         weight = jnp.ones((n,), dtype=dtype)
     pad_n = (-n) % n_dev
     if pad_n:
-        source = jnp.concatenate([source, jnp.zeros((pad_n, 3), dtype=dtype)])
+        source = jnp.concatenate(
+            [source, jnp.zeros((pad_n, source.shape[1]), dtype=dtype)])
         weight = jnp.concatenate([weight, jnp.zeros((pad_n,), dtype=dtype)])
     pad_m = (-m) % n_dev
     if pad_m:
@@ -345,5 +371,5 @@ def register_ring_sharded(
         in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P(), P(), P()),
     ))
-    T, done, it, cost = fn(source[:, :3], weight, target, T_init)
+    T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
     return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)

@@ -46,7 +46,9 @@ class ICPResult(NamedTuple):
     """Result pytree; fields mirror the reference's results dict
     (dICP/ICP.py:288-303).  Histories have fixed length ``max_iterations``;
     entries past the executed count repeat the last value (weights/costs) or
-    are zero (deltas) — use :func:`executed_iterations` to slice."""
+    are zero (deltas) — use :func:`executed_iterations` to slice.  With
+    ``cfg.collect_histories=False`` they are length-1 placeholders holding
+    the final values (weights/costs) or zeros (deltas)."""
 
     pc: jnp.ndarray            # (N, n, 3) transformed source
     T: jnp.ndarray             # (N, 4, 4)
@@ -327,11 +329,21 @@ def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
 
     def body(carry, it):
         if cfg.const_iter:
-            return step((carry, it))
-        return lax.cond(jnp.all(carry.converged), skip, step, (carry, it))
+            out = step((carry, it))
+        else:
+            out = lax.cond(jnp.all(carry.converged), skip, step, (carry, it))
+        if not cfg.collect_histories:
+            return out[0], ()          # no stacked ys -> no O(T*N*P) buffers
+        return out
 
-    carry, (deltas, weights, costs) = lax.scan(
+    carry, hist = lax.scan(
         body, carry0, jnp.arange(cfg.max_iterations), unroll=cfg.scan_unroll)
+    if not cfg.collect_histories:
+        deltas = jnp.zeros((1,) + carry.C.shape[:1] + (6,), source.dtype)
+        weights = carry.prev_w_save[None]
+        costs = carry.prev_cost[None]
+    else:
+        deltas, weights, costs = hist
     return carry, deltas, weights, costs
 
 
@@ -347,9 +359,12 @@ def _run_while(cfg: ICPConfig, source, target, weight, C, r, key):
     P = weight.shape[-1]
     dtype = source.dtype
     carry0 = _init_carry(cfg, source, weight, C, r)
-    hist0 = (jnp.zeros((T, N, 6), dtype=dtype),
-             jnp.zeros((T, N, P), dtype=dtype),
-             jnp.zeros((T, N), dtype=dtype))
+    if cfg.collect_histories:
+        hist0 = (jnp.zeros((T, N, 6), dtype=dtype),
+                 jnp.zeros((T, N, P), dtype=dtype),
+                 jnp.zeros((T, N), dtype=dtype))
+    else:
+        hist0 = ()
 
     def cond(state):
         carry, it, _ = state
@@ -360,13 +375,22 @@ def _run_while(cfg: ICPConfig, source, target, weight, C, r, key):
         carry, it, hist = state
         k = jax.random.fold_in(key, it) if key is not None else None
         carry, (delta, w_save, cost) = _apply_step(cfg, source, target, carry, it, k)
-        hd, hw, hc = hist
-        hist = (hd.at[it].set(delta), hw.at[it].set(w_save), hc.at[it].set(cost))
+        if cfg.collect_histories:
+            hd, hw, hc = hist
+            hist = (hd.at[it].set(delta), hw.at[it].set(w_save), hc.at[it].set(cost))
         return carry, it + 1, hist
 
-    carry, it_final, (deltas, weights, costs) = lax.while_loop(
+    carry, it_final, hist = lax.while_loop(
         cond, body, (carry0, jnp.int32(0), hist0))
 
+    if not cfg.collect_histories:
+        # length-1 placeholders holding the final carry-forward values
+        deltas = jnp.zeros((1, N, 6), dtype=dtype)
+        weights = carry.prev_w_save[None]
+        costs = carry.prev_cost[None]
+        return carry, deltas, weights, costs, it_final
+
+    deltas, weights, costs = hist
     # Unexecuted slots carry the last executed values forward so slicing and
     # fixed-length consumers both see the reference's carry-forward semantics.
     idx = jnp.arange(T)

@@ -55,7 +55,16 @@ def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray,
     iterative SVD (one (1,3,3) jnp.linalg.svd costs ~29 ms on TPU; this whole
     routine is microseconds).  Proper rotations (det +1) by construction, so
     no determinant correction branch is needed.
+
+    Matmul precision is pinned HERE (not only in the public solver): on TPU
+    a bare einsum runs the MXU in bf16, flooring the recovered rotation at
+    ~1.4e-4 (measured on chip) no matter how many power iterations run.
     """
+    with jax.default_matmul_precision("float32"):
+        return _kabsch_impl(ps, qs, w, power_iters)
+
+
+def _kabsch_impl(ps, qs, w, power_iters):
     dtype = ps.dtype
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     wsafe = jnp.where(wsum == 0, jnp.ones_like(wsum), wsum)
@@ -87,16 +96,21 @@ def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray,
     shift = 2.0 * jnp.sqrt(jnp.where(degenerate, jnp.ones_like(s_norm2), s_norm2))
     Ks = K + shift[:, None, None] * jnp.eye(4, dtype=dtype)
 
-    # TWO power-iteration seeds, winner by Rayleigh quotient: the identity
+    # FOUR power-iteration seeds, winner by Rayleigh quotient: the identity
     # quaternion [1,0,0,0] converges fastest for the common near-identity
     # alignment but is exactly orthogonal to the dominant eigenvector of any
     # 180-degree alignment (w = cos(theta/2) = 0, and a power iteration on a
-    # symmetric matrix never recovers a component the seed lacks); the
-    # complementary pure-axis seed covers that subspace.
+    # symmetric matrix never recovers a component the seed lacks).  The three
+    # vector-part seeds span the full {w=0} x R^3 subspace, so EVERY unit
+    # quaternion has non-trivial overlap with at least one seed — two seeds
+    # alone leave a blind line (axes with ux+uy+uz=0, e.g. (1,-1,0)/sqrt(2),
+    # are orthogonal to both [1,0,0,0] and [0,1,1,1]).
     seeds = jnp.array([[1.0, 0.0, 0.0, 0.0],
-                       [0.0, 1.0, 1.0, 1.0]], dtype=dtype)
+                       [0.0, 1.0, 1.0, 1.0],
+                       [0.0, 1.0, -1.0, 0.0],
+                       [0.0, 1.0, 0.0, -1.0]], dtype=dtype)
     seeds = seeds / jnp.linalg.norm(seeds, axis=-1, keepdims=True)
-    q = jnp.broadcast_to(seeds, (ps.shape[0], 2, 4))
+    q = jnp.broadcast_to(seeds, (ps.shape[0], 4, 4))
     # Unrolled on purpose: a lax.scan/fori_loop here costs ~0.5 ms of
     # sequencing overhead PER STEP on TPU; unrolled 4x4 matvecs fuse into one
     # straight-line block.  Normalize EVERY step with a zero guard (repeated
@@ -106,7 +120,7 @@ def _kabsch(ps: jnp.ndarray, qs: jnp.ndarray, w: jnp.ndarray,
         norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
         bad = norm < jnp.finfo(dtype).tiny * 1e6
         q = jnp.where(bad, seeds, q / jnp.where(bad, jnp.ones_like(norm), norm))
-    rayleigh = jnp.einsum("nsi,nij,nsj->ns", q, K, q)      # (N, 2)
+    rayleigh = jnp.einsum("nsi,nij,nsj->ns", q, K, q)      # (N, 4)
     pick = jnp.argmax(rayleigh, axis=-1)
     q = jnp.take_along_axis(q, pick[:, None, None], axis=1)[:, 0]
     C = _quat_to_rot(q)

@@ -42,3 +42,18 @@ def target_np():
 def test_pair(source_np, target_np):
     """(scan, map) tuple — the reference's test pair."""
     return source_np, target_np
+
+
+@pytest.fixture
+def planes_scene():
+    """Three orthogonal noisy planes with exact unit normals, (600, 6) f64 —
+    a well-conditioned full-6-DOF scene for pt2pl/symmetric solvers."""
+    rng = np.random.default_rng(7)
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts, nrm = [], []
+    for k in range(3):
+        uv = rng.uniform(-5, 5, size=(200, 2))
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (2.0 + k))
+        nrm.append(np.tile(normals[k], (200, 1)))
+    return np.hstack([np.vstack(pts), np.vstack(nrm)])

@@ -221,6 +221,25 @@ def test_svd_180_degree_alignment():
     np.testing.assert_allclose(np.asarray(r[0]), 0.0, atol=1e-8)
 
 
+def test_svd_180_degree_blind_axes():
+    """180-degree rotations about axes with ux+uy+uz=0 — orthogonal to BOTH
+    of the original two power-iteration seeds ([1,0,0,0] and [0,1,1,1]); the
+    complementary vector-part seeds must recover them to full precision."""
+    from dicp_tpu.svd_icp import _kabsch
+
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.normal(size=(1, 200, 3)))
+    for u in ([1.0, -1.0, 0.0], [1.0, 0.0, -1.0], [0.0, 1.0, -1.0],
+              [1.0, 1.0, -2.0]):
+        u = np.asarray(u) / np.linalg.norm(u)
+        R = jnp.asarray(2.0 * np.outer(u, u) - np.eye(3))  # 180 deg about u
+        q = p @ R.T
+        C, r = _kabsch(p, q, jnp.ones((1, 200)))
+        np.testing.assert_allclose(np.asarray(C[0]), np.asarray(R), atol=1e-6,
+                                   err_msg=f"axis {u}")
+        np.testing.assert_allclose(np.asarray(r[0]), 0.0, atol=1e-8)
+
+
 def test_find_nn_pallas_grad(source_np, target_np):
     """jax.grad through find_nn's Pallas dispatch path (pallas_call has no
     AD rule; the index must be computed under stop_gradient)."""
@@ -345,3 +364,88 @@ def test_register_vmappable(source_np, target_np):
     assert out.shape == (3, 2, 4, 4)
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[2]), atol=1e-12)
+
+
+def test_symmetric_api_class(planes_scene):
+    """Symmetric ICP through the drop-in ICP class (round-1 gate removed):
+    the normalizer must keep 6-column sources, dense and ragged-list."""
+    from dicp_tpu import se3
+    from dicp_tpu.api import ICP
+
+    xi = jnp.asarray([0.2, -0.1, 0.15, 0.03, -0.02, 0.04])
+    T_st = np.asarray(se3.vec2tran(xi))
+    src6 = np.hstack([planes_scene[:, :3] @ T_st[:3, :3].T + T_st[:3, 3],
+                      planes_scene[:, 3:6] @ T_st[:3, :3].T])
+    T_true = np.asarray(se3.tran_inv(jnp.asarray(T_st)))
+
+    solver = ICP(icp_type="symmetric", differentiable=False,
+                 max_iterations=60, tolerance=1e-12)
+    res = solver.icp(jnp.asarray(src6), jnp.asarray(planes_scene), jnp.eye(4),
+                     trim_dist=2.0, loss_fn={"name": "huber", "metric": 1.0},
+                     dim=3)
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        jnp.asarray(T_true) @ jnp.linalg.inv(res["T"][0]))))
+    assert err < 1e-9, err
+
+    # ragged list batch: a 150-point subset and the full cloud
+    res2 = solver.icp([jnp.asarray(src6[:150]), jnp.asarray(src6)],
+                      [jnp.asarray(planes_scene)] * 2, jnp.eye(4),
+                      trim_dist=2.0, loss_fn={"name": "huber", "metric": 1.0},
+                      dim=3)
+    err2 = float(jnp.linalg.norm(se3.tran2vec(
+        jnp.asarray(T_true) @ jnp.linalg.inv(res2["T"][1]))))
+    assert err2 < 1e-9, err2
+
+    # 3-column sources are a clear error, not silent corruption
+    with pytest.raises(ValueError, match="6-column"):
+        solver.icp(jnp.asarray(src6[:, :3]), jnp.asarray(planes_scene),
+                   jnp.eye(4), dim=3)
+
+
+def test_symmetric_zero_source_normals_equals_pt2pl(source_np, target_np):
+    """With all-zero source normals the symmetric residual reduces exactly
+    to pt2pl — the class path must reproduce the pt2pl solution on the
+    reference pair (whose scan has zero normal columns)."""
+    from dicp_tpu.api import ICP
+
+    kw = dict(trim_dist=5.0, loss_fn={"name": "huber", "metric": 1.0}, dim=2)
+    sym = ICP(icp_type="symmetric", differentiable=False,
+              max_iterations=50, tolerance=1e-10)
+    pl = ICP(icp_type="pt2pl", differentiable=False,
+             max_iterations=50, tolerance=1e-10)
+    res_s = sym.icp(jnp.asarray(source_np), jnp.asarray(target_np),
+                    jnp.eye(4), **kw)
+    res_p = pl.icp(jnp.asarray(source_np), jnp.asarray(target_np),
+                   jnp.eye(4), **kw)
+    np.testing.assert_allclose(np.asarray(res_s["T"]), np.asarray(res_p["T"]),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("driver", ["scan", "while"])
+def test_collect_histories_off(source_np, target_np, driver):
+    """collect_histories=False: identical T/stats, length-1 history
+    placeholders carrying the final weights/costs, both drivers."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    base = ICPConfig(icp_type="pt2pl", differentiable=(driver == "scan"),
+                     driver=driver, max_iterations=50, tolerance=1e-10,
+                     dim=2, trim_dist=5.0, loss_name="huber", loss_metric=1.0)
+    src = jnp.asarray(source_np[None, :, :3])
+    tgt = jnp.asarray(target_np[None])
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+
+    full = register_jit(src, tgt, ti, None, cfg=base)
+    slim = register_jit(src, tgt, ti, None, cfg=base.with_(collect_histories=False))
+    np.testing.assert_allclose(np.asarray(slim.T), np.asarray(full.T), atol=0)
+    np.testing.assert_allclose(np.asarray(slim.iterations),
+                               np.asarray(full.iterations), atol=0)
+    np.testing.assert_allclose(np.asarray(slim.matched_ratio),
+                               np.asarray(full.matched_ratio), atol=0)
+    assert slim.weights.shape[1] == 1 and slim.costs.shape[1] == 1
+    # placeholder holds the final carry-forward values
+    k = int(full.iterations.max()) - 1
+    np.testing.assert_allclose(np.asarray(slim.weights[:, 0]),
+                               np.asarray(full.weights[:, k]), atol=0)
+    np.testing.assert_allclose(np.asarray(slim.costs[:, 0]),
+                               np.asarray(full.costs[:, k]), atol=0)

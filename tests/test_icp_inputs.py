@@ -225,3 +225,26 @@ def test_negative_coordinate_padding(source_np, target_np):
     err = float(jnp.linalg.norm(se3.tran2vec(
         se3.compose(t_true, se3.tran_inv(res["T"][1])))))
     assert err < 1e-6, f"padding corrupted the solve: err {err}"
+
+
+def test_batch_length_mismatch_raises(source_np, target_np):
+    """Mismatched batch lengths must fail with a clear ValueError up front,
+    not an opaque shape error deep in the solver."""
+    import pytest
+
+    from dicp_tpu.api import batch_size_handling
+
+    src_dense = jnp.asarray(np.stack([source_np[:, :3]] * 3))  # (3, n, 3)
+    tgt_list = [jnp.asarray(target_np), jnp.asarray(target_np)]  # 2 clouds
+    with pytest.raises(ValueError, match="batch length"):
+        batch_size_handling(src_dense, tgt_list)
+    with pytest.raises(ValueError, match="batch length"):
+        batch_size_handling([jnp.asarray(source_np[:, :3])] * 3, tgt_list)
+    # short weight list
+    with pytest.raises(ValueError, match="weight"):
+        batch_size_handling([jnp.asarray(source_np[:, :3])] * 2,
+                            tgt_list, weight=[jnp.ones(65)])
+    # dense weight with wrong row count
+    with pytest.raises(ValueError, match="rows"):
+        batch_size_handling(src_dense, jnp.asarray(np.stack([target_np] * 3)),
+                            weight=jnp.ones((2, 65)))

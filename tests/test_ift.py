@@ -124,3 +124,93 @@ def test_ift_rejects_gumbel(source_np, target_np):
         register_ift(jnp.asarray(source_np[None, :, :3]),
                      jnp.asarray(target_np[None]),
                      jnp.eye(4, dtype=jnp.float64)[None], None, cfg)
+
+
+def test_ift_symmetric(planes_scene):
+    """IFT gradients for symmetric ICP (round-1 gate removed) must match the
+    unrolled backward; sources carry normals, so the (N, n, 6) source
+    cotangent includes normal columns."""
+    from dicp_tpu import se3
+
+    xi = jnp.asarray(np.array([0.05, -0.04, 0.03, 0.02, -0.01, 0.03]))
+    T_st = se3.vec2tran(xi)
+    src6 = jnp.asarray(np.hstack(
+        [planes_scene[:, :3] @ np.asarray(T_st)[:3, :3].T + np.asarray(T_st)[:3, 3],
+         planes_scene[:, 3:6] @ np.asarray(T_st)[:3, :3].T]))[None]
+    # perturb the target so the fixed point balances NONZERO residuals —
+    # normal-column gradients are residual-scaled and vanish at an exact fit
+    rng = np.random.default_rng(5)
+    scene = planes_scene.copy()
+    scene[:, :3] += rng.normal(scale=0.01, size=(scene.shape[0], 3))
+    tgt = jnp.asarray(scene)[None]
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+    cfg = _cfg(icp_type="symmetric", dim=3, max_iterations=80, trim_dist=None)
+
+    T_u = register(src6, tgt, ti, None, cfg).T
+    T_i = register_ift(src6, tgt, ti, None, cfg).T
+    np.testing.assert_allclose(np.asarray(T_u), np.asarray(T_i), atol=1e-12)
+
+    g_u = jax.grad(lambda a: jnp.sum(register(a, tgt, ti, None, cfg).T))(src6)
+    g_i = jax.grad(lambda a: jnp.sum(register_ift(a, tgt, ti, None, cfg).T))(src6)
+    scale = max(np.abs(np.asarray(g_u)).max(), 1)
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u), atol=1e-5 * scale)
+    # normal-column gradients are genuinely nonzero for symmetric
+    assert np.abs(np.asarray(g_u)[..., 3:6]).max() > 1e-8
+
+    tg_u = jax.grad(lambda b: jnp.sum(register(src6, b, ti, None, cfg).T))(tgt)
+    tg_i = jax.grad(lambda b: jnp.sum(register_ift(src6, b, ti, None, cfg).T))(tgt)
+    scale = max(np.abs(np.asarray(tg_u)).max(), 1)
+    np.testing.assert_allclose(np.asarray(tg_i), np.asarray(tg_u), atol=1e-5 * scale)
+
+
+def test_ift_matches_finite_differences(source_np, target_np):
+    """Ground-truth check AGAINST THE SOLVER ITSELF: central differences of
+    the converged T* w.r.t. source, target, and weight entries.  Unlike the
+    IFT-vs-unrolled comparison this cannot be fooled by an assumption shared
+    by both autodiff paths (e.g. a wrong fixed-correspondence treatment)."""
+    rng = np.random.default_rng(11)
+    tgt_np = target_np.copy()
+    tgt_np[:, :3] += rng.normal(scale=0.05, size=(tgt_np.shape[0], 3))
+    tgt_np[:, 2] = 0.0
+    cfg = _cfg(max_iterations=80, tolerance=1e-13)
+
+    src0 = np.asarray(source_np[None, :, :3])
+    tgt0 = np.asarray(tgt_np[None])
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+    w0 = np.ones(src0.shape[:2])
+    cot = rng.normal(size=(1, 4, 4))  # fixed random cotangent on T
+
+    def f(s, t, w):
+        T = register_ift(jnp.asarray(s), jnp.asarray(t), ti,
+                         jnp.asarray(w), cfg).T
+        return float(jnp.sum(T * jnp.asarray(cot)))
+
+    g_s, g_t, g_w = jax.grad(
+        lambda s, t, w: jnp.sum(register_ift(s, t, ti, w, cfg).T
+                                * jnp.asarray(cot)),
+        argnums=(0, 1, 2))(jnp.asarray(src0), jnp.asarray(tgt0),
+                           jnp.asarray(w0))
+    g_s, g_t, g_w = np.asarray(g_s), np.asarray(g_t), np.asarray(g_w)
+
+    eps = 1e-6
+    checked = 0
+    for arr, grad in ((src0, g_s), (tgt0, g_t), (w0, g_w)):
+        flat_idx = rng.choice(arr.size, size=6, replace=False)
+        for fi in flat_idx:
+            idx = np.unravel_index(fi, arr.shape)
+            if arr is tgt0 and idx[-1] == 2:
+                continue  # z column is zmasked in dim=2: gradient 0 vs FD 0
+            plus, minus = arr.copy(), arr.copy()
+            plus[idx] += eps
+            minus[idx] -= eps
+            args = [src0, tgt0, w0]
+            pos = 0 if arr is src0 else (1 if arr is tgt0 else 2)
+            args_p = list(args); args_p[pos] = plus
+            args_m = list(args); args_m[pos] = minus
+            fd = (f(*args_p) - f(*args_m)) / (2 * eps)
+            ad = grad[idx]
+            denom = max(abs(fd), abs(ad), 1e-6)
+            assert abs(fd - ad) / denom < 1e-4, \
+                f"idx {idx} (input {pos}): FD {fd} vs AD {ad}"
+            checked += 1
+    assert checked >= 12

@@ -120,3 +120,20 @@ def test_preprocess_subsamples_evenly():
     # spread across the whole range, not the first 100 indices
     assert out[:, 0].max() > 900 and out[:, 0].min() < 100
     assert np.all(w == 1.0)
+
+
+def test_voxel_downsample_host_extent_guard():
+    """Clouds spanning more than 2**21 cells per axis would silently alias
+    hash keys (cells exactly 2**21 apart share a key) — must raise instead."""
+    import pytest
+
+    from dicp_tpu.io.native import voxel_downsample_host
+
+    pts = np.zeros((2, 3), np.float32)
+    pts[1, 0] = (1 << 21) * 0.1 + 1.0  # > 2**21 cells apart at voxel=0.1
+    with pytest.raises(ValueError, match="2\\*\\*21"):
+        voxel_downsample_host(pts, 0.1)
+    # well inside the limit: fine
+    out = voxel_downsample_host(np.array([[0.0, 0, 0], [1e4, 0, 0]],
+                                         np.float32), 0.1)
+    assert out.shape[0] == 2

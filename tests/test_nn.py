@@ -94,3 +94,48 @@ def test_matches_exact_bruteforce():
     d2_exact = jnp.sum((x[:, :, None, :] - y[:, None, :, :]) ** 2, axis=-1)
     idx_exact = jnp.argmin(d2_exact, axis=-1)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_exact))
+
+
+def test_gumbel_streaming_matches_hard_nn_when_separated():
+    """The chunked online-softmax Gumbel path (no (n, m) materialization)
+    must agree with the dense path in the well-separated regime where the
+    softmax is numerically one-hot regardless of the noise draw."""
+    from dicp_tpu import knn
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(40, 3)))
+    # targets on a coarse lattice: nearest-vs-next-nearest d^2 gap >> tau*noise
+    y = jnp.asarray(np.concatenate(
+        [rng.normal(size=(100, 3)) * 0.01 + rng.integers(-5, 5, size=(100, 3)) * 30.0,
+         rng.normal(size=(100, 3))], axis=1).reshape(100, 6)[:, :3])
+    y = jnp.concatenate([y, jnp.asarray(rng.normal(size=(100, 3)))], axis=-1)
+    key = jax.random.PRNGKey(0)
+    hard = knn.hard_nn(x, y)
+    dense = knn.gumbel_nn(x, y, key, tau=1e-3)
+    stream = knn.gumbel_nn(x, y, key, tau=1e-3, chunk=32)  # 4 chunksversus dense
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(hard), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(hard), atol=1e-6)
+
+    # gradients flow through the streaming path into query and targets
+    # (soft regime: nearby targets so the softmax is genuinely mixed)
+    xs = jnp.asarray(rng.normal(size=(40, 3)))
+    ys = jnp.asarray(rng.normal(size=(100, 6)))
+
+    def loss(x_, y_):
+        return jnp.sum(knn.gumbel_nn(x_, y_, key, tau=0.5, chunk=32) ** 2)
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(xs, ys)
+    assert np.all(np.isfinite(np.asarray(gx))) and np.any(np.asarray(gx) != 0)
+    assert np.all(np.isfinite(np.asarray(gy))) and np.any(np.asarray(gy) != 0)
+
+    # batched inputs + non-divisible chunking (padding masked correctly)
+    xb = jnp.asarray(rng.normal(size=(2, 7, 3)))
+    yb = jnp.asarray(rng.normal(size=(2, 33, 6)))
+    outb = knn.gumbel_nn(xb, yb, key, tau=0.5, chunk=8)
+    assert outb.shape == (2, 7, 6)
+    assert np.all(np.isfinite(np.asarray(outb)))
+    # convexity: streamed soft neighbor stays inside the target bounding box
+    lo = np.asarray(jnp.min(yb, axis=-2, keepdims=True))
+    hi = np.asarray(jnp.max(yb, axis=-2, keepdims=True))
+    o = np.asarray(outb)
+    assert np.all(o >= lo - 1e-9) and np.all(o <= hi + 1e-9)

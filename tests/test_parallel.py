@@ -189,3 +189,30 @@ def test_map_sharded_nondefault_axis(source_np, target_np):
     res2 = register_ring_sharded(mesh, jnp.asarray(source_np[:, :3]),
                                  jnp.asarray(target_np), cfg=CFG, axis="batch")
     assert _err(_t_true(), np.asarray(res2.T)) < 1e-7
+
+
+def test_map_sharded_symmetric(planes_scene):
+    """Map-sharded symmetric ICP (round-1 gate removed): psum-reduced normal
+    equations must match the dense single-device symmetric solve."""
+    mesh = make_mesh((1, 8))
+    cfg = ICPConfig(icp_type="symmetric", differentiable=False,
+                    max_iterations=60, tolerance=1e-12, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=1.0)
+    xi = jnp.array([0.2, -0.1, 0.15, 0.03, -0.02, 0.04], dtype=jnp.float64)
+    T_st = np.asarray(se3.vec2tran(xi))
+    src6 = jnp.asarray(np.hstack(
+        [planes_scene[:, :3] @ T_st[:3, :3].T + T_st[:3, 3],
+         planes_scene[:, 3:6] @ T_st[:3, :3].T]))
+
+    res = register_map_sharded(mesh, src6, jnp.asarray(planes_scene), cfg=cfg)
+    dense = register_jit(src6[None], jnp.asarray(planes_scene)[None],
+                         jnp.eye(4, dtype=jnp.float64)[None], None, cfg=cfg)
+    assert _err(np.asarray(dense.T[0]), np.asarray(res.T)) < 1e-10
+    T_true = np.asarray(se3.tran_inv(se3.vec2tran(xi)))
+    assert _err(T_true, np.asarray(res.T)) < 1e-8
+    assert bool(res.converged)
+
+    # 3-column source is a clear error
+    with pytest.raises(ValueError, match="6-column"):
+        register_map_sharded(mesh, src6[:, :3], jnp.asarray(planes_scene),
+                             cfg=cfg)
