@@ -14,7 +14,7 @@ See bench.py for the calibration (a chained 8192^3 matmul measures 116 TF/s
 = 59% of the v5e bf16 peak — physically sane).
 
 Usage: python benchmarks/bench_suite.py [name ...]
-Names: svd_pair, pt2pl_pair, batch256, large_cloud, odometry, capacity, pipeline
+Names: svd_pair, pt2pl_pair, batch256, large_cloud, normals, odometry, capacity, pipeline
 """
 
 import json
@@ -160,6 +160,19 @@ def bench_capacity():
     _emit("batch4096_fwdbwd_ift", B / dt, "registrations/s",
           vs_cpu_baseline=round(B / dt / 1293.0, 2))
 
+    # the fix for the B=4096 collapse: knee-sized sequential chunks
+    # (bitwise-identical results; see ICPConfig.batch_chunk + BENCH.md)
+    cfg_c = cfg.with_(batch_chunk=1024)
+
+    def step_chunked(s, tgt, ti):
+        val, grad = jax.value_and_grad(
+            lambda x: jnp.sum(register_ift(x, tgt, ti, None, cfg_c).T))(s)
+        return val + jnp.sum(grad) * 1e-20
+
+    dt_c = _chained_rate(step_chunked, src, tgt, ti, k_small=2, k_big=8)
+    _emit("batch4096_fwdbwd_ift_chunked", B / dt_c, "registrations/s",
+          vs_cpu_baseline=round(B / dt_c / 1293.0, 2), batch_chunk=1024)
+
 
 def _make_scene(n=100_000):
     rng = np.random.default_rng(0)
@@ -174,11 +187,14 @@ def _make_scene(n=100_000):
 
 
 def bench_large_cloud():
-    """Config #4: 100k-point registration with Pallas kNN + voxel downsample."""
+    """Config #4: 100k-point registration — cluster-pruned exact kNN
+    (build once, query per GN iteration), plus the brute-force Pallas
+    kernel and the normals front-end as standalone metrics."""
     import jax.numpy as jnp
 
     from dicp_tpu import se3
     from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
     from dicp_tpu.ops.pallas_knn import nn_indices_pallas
     from dicp_tpu.ops.voxel import voxel_downsample
     from dicp_tpu.registration import register, register_jit
@@ -189,16 +205,38 @@ def bench_large_cloud():
     T_st = se3.vec2tran(xi)
     source = target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3]
 
-    # kNN kernel alone
+    # brute-force Pallas kernel alone (the exact O(n*m) floor)
     def knn_step(s, tgt3):
         return jnp.sum(nn_indices_pallas(s, tgt3).astype(jnp.float32)) * 1e-9
 
     dt_knn = _chained_rate(knn_step, source, target[:, :3], k_small=2, k_big=6)
     _emit("pallas_knn_100k", dt_knn * 1e3, "ms", pairs=n * n)
 
+    # cluster-pruned search: build + query (the production path)
+    import jax
+
+    build = jax.jit(lambda t: build_cluster_index(t, 128))
+
+    def cluster_step(s, tgt3):
+        index = build(tgt3)
+        idx, d2, cert = cluster_nn(index, s, probes=16)
+        return (jnp.sum(idx.astype(jnp.float32)) * 1e-9
+                + jnp.sum(cert) * 1e-9 + jnp.sum(d2) * 1e-20)
+
+    dt_cl = _chained_rate(cluster_step, source, target[:, :3],
+                          k_small=2, k_big=8)
+    index = build(target[:, :3])
+    idx, _, cert = cluster_nn(index, source, probes=16)
+    idx_ref = nn_indices_pallas(source, target[:, :3])
+    agree = float(jnp.mean((idx == idx_ref).astype(jnp.float32)))
+    _emit("cluster_knn_100k", dt_cl * 1e3, "ms",
+          certified_pct=round(100 * float(jnp.mean(cert.astype(jnp.float32))), 3),
+          agreement_vs_bruteforce_pct=round(100 * agree, 4),
+          note="build+query; solver amortizes the build over all iterations")
+
     cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
                     tolerance=1e-5, dim=3, trim_dist=2.0,
-                    loss_name="huber", loss_metric=1.0, use_pallas_nn=True)
+                    loss_name="huber", loss_metric=1.0, nn_method="cluster")
 
     def reg_step(s, tgt):
         v = voxel_downsample(s, 0.5)
@@ -214,6 +252,76 @@ def bench_large_cloud():
     err = float(jnp.linalg.norm(se3.tran2vec(se3.compose(T_true, se3.tran_inv(res.T[0])))))
     _emit("large_cloud_100k", dt * 1e3, "ms/registration", transform_err=err,
           iterations=float(res.iterations[0]))
+
+    # full-resolution registration, NO voxel downsample: 100k source points
+    # against the 100k map every GN iteration through the cluster index
+    def reg_full_step(s, tgt):
+        res = register(s[None], tgt[None], jnp.eye(4, dtype=jnp.float32)[None],
+                       None, cfg)
+        return jnp.sum(res.T)
+
+    dt_full = _chained_rate(reg_full_step, source, target, k_small=1, k_big=4)
+    res_f = register_jit(source[None], target[None],
+                         jnp.eye(4, dtype=jnp.float32)[None], None, cfg=cfg)
+    err_f = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res_f.T[0])))))
+    _emit("large_cloud_100k_fullres", dt_full * 1e3, "ms/registration",
+          transform_err=err_f, iterations=float(res_f.iterations[0]))
+
+
+def bench_normals():
+    """Normals front-end at scale: estimate_normals on the 100k cloud via
+    the cluster kNN (no (n, n) matrix), then an e2e pt2pl registration that
+    COMPUTES its own target normals."""
+    import jax
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ops.normals import estimate_normals
+    from dicp_tpu.registration import register, register_jit
+
+    n = 100_000
+    scene = _make_scene(n)
+    target3 = jnp.asarray(scene[:, :3])
+    true_n = scene[:, 3:6]
+
+    est = jax.jit(lambda p: estimate_normals(p, k=16, method="cluster"))
+
+    def step(p):
+        return jnp.sum(est(p)) * 1e-9
+
+    dt = _chained_rate(step, target3, k_small=2, k_big=6)
+    nrm = np.asarray(est(target3))
+    # orientation-agnostic accuracy vs the scene's exact normals
+    dots = np.abs(np.sum(nrm * true_n, axis=-1))
+    _emit("normals_100k", dt * 1e3, "ms", k=16,
+          mean_abs_dot_vs_truth=round(float(dots.mean()), 6),
+          pct_within_5deg=round(100 * float((dots > np.cos(np.radians(5))).mean()), 3))
+
+    # e2e: registration computing its own normals (VERDICT r2 #3 criterion)
+    xi = jnp.asarray(np.array([0.2, -0.1, 0.05, 0.01, -0.02, 0.03], np.float32))
+    T_st = se3.vec2tran(xi)
+    source = target3 @ T_st[:3, :3].T + T_st[:3, 3]
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
+                    tolerance=1e-5, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=1.0, nn_method="cluster")
+
+    def e2e_step(s, tgt3):
+        tgt6 = jnp.concatenate([tgt3, est(tgt3)], axis=-1)
+        res = register(s[None], tgt6[None], jnp.eye(4, dtype=jnp.float32)[None],
+                       None, cfg)
+        return jnp.sum(res.T)
+
+    dt_e2e = _chained_rate(e2e_step, source, target3, k_small=1, k_big=4)
+    tgt6 = jnp.concatenate([target3, est(target3)], axis=-1)
+    res = register_jit(source[None], tgt6[None],
+                       jnp.eye(4, dtype=jnp.float32)[None], None, cfg=cfg)
+    T_true = se3.tran_inv(T_st)
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    _emit("large_cloud_100k_selfnormals", dt_e2e * 1e3, "ms/registration",
+          transform_err=err, iterations=float(res.iterations[0]))
 
 
 def bench_odometry():
@@ -318,6 +426,7 @@ ALL = {
     "pt2pl_pair": bench_pt2pl_pair,
     "batch256": bench_batch256,
     "large_cloud": bench_large_cloud,
+    "normals": bench_normals,
     "odometry": bench_odometry,
     "capacity": bench_capacity,
     "pipeline": bench_pipeline,

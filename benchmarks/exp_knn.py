@@ -36,6 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 from benchmarks.timing import chained_rate
 
 _PAD_VAL = 1e30
+# HIGHEST = 3-pass bf16 decomposition (~f32); DEFAULT = single bf16 pass.
+# Score-form cancellation: error ~ eps * R^2 absolute, so DEFAULT (bf16,
+# eps ~ 8e-3) flips real argmins at R = 50; HIGHEST flips only f32 ties.
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _cdiv(a, b):
@@ -72,7 +76,8 @@ def _kernel_v1(x_ref, y_ref, idx_out, s_out, best_s, best_idx):
 
     s = jax.lax.dot_general(
         x_ref[:], y_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (TQ, TM) MXU
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                                # (TQ, TM) MXU
     local_min = jnp.min(s, axis=1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     local_arg = jnp.min(jnp.where(s == local_min, col, jnp.int32(2**30)),
@@ -162,13 +167,14 @@ def _make_kernel_v2(tm, m_pad):
             get_dma(slot, t).wait()
             sbuf[slot] = jax.lax.dot_general(
                 x_ref[:], ybuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION)
 
             @pl.when(t > 0)
-            def _():
+            def _reduce_prev():
                 reduce_tile(t - 1)
 
-            return _
+            return 0
 
         jax.lax.fori_loop(0, nt, body, 0)
         reduce_tile(nt - 1)
@@ -216,23 +222,27 @@ def nn_v2(x, y, tq=256, tm=2048):
 
 # ----------------------------------------------------------------- harness
 def check(name, fn, x, y):
-    """Correctness vs dense diff-form argmin; tie-aware (score-form rounding
-    may legitimately flip argmins between equal-within-f32 candidates)."""
+    """Correctness vs f64 dense argmin; tie-aware: a flip is acceptable iff
+    the true (f64) distances of the two candidates differ by less than the
+    f32 score-form rounding bound ~ 64*eps*R^2 (genuine numerical ties)."""
     idx, _ = fn(x, y)
     idx = np.asarray(jax.device_get(idx))
-    d2 = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
-    ref = np.asarray(jax.device_get(jnp.argmin(d2, axis=1)))
-    d2 = np.asarray(jax.device_get(d2))
+    xh = np.asarray(x, np.float64)
+    yh = np.asarray(y, np.float64)
+    d2 = np.sum((xh[:, None, :] - yh[None, :, :]) ** 2, axis=-1)
+    ref = np.argmin(d2, axis=1)
+    r2 = max(np.abs(xh).max(), np.abs(yh).max()) ** 2
+    tie_tol = 64 * np.finfo(np.float32).eps * r2
     bad = idx != ref
     n_bad = int(bad.sum())
     if n_bad:
         rows = np.nonzero(bad)[0]
         gaps = np.abs(d2[rows, idx[rows]] - d2[rows, ref[rows]])
-        scale = 1.0 + d2[rows, ref[rows]]
-        worst = float((gaps / scale).max())
-        print(f"  {name}: {n_bad}/{len(idx)} argmin flips, worst rel gap "
-              f"{worst:.2e} {'(ties only)' if worst < 1e-5 else '(REAL ERROR)'}")
-        return worst < 1e-5
+        worst = float(gaps.max())
+        print(f"  {name}: {n_bad}/{len(idx)} argmin flips, worst true-d2 gap "
+              f"{worst:.2e} (tie tol {tie_tol:.2e}) "
+              f"{'(ties only)' if worst < tie_tol else '(REAL ERROR)'}")
+        return worst < tie_tol
     print(f"  {name}: exact match ({len(idx)} rows)")
     return True
 

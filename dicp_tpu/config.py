@@ -65,6 +65,25 @@ class ICPConfig:
     # the solve; inference/training-throughput paths should disable it.
     collect_histories: bool = True
     use_pallas_nn: Optional[bool] = None
+    # Correspondence search backend:
+    #   'dense'   brute-force (N, n, m) distance matrix (XLA)
+    #   'pallas'  tiled brute-force kernel, no (n, m) materialization
+    #   'cluster' Hilbert cluster-pruned exact search (ops/cluster_knn) —
+    #             index built ONCE per solve (the target is loop-constant);
+    #             per-iteration cost O(n * probes * group) instead of O(n*m)
+    #   'auto'    dense small, pallas mid, cluster for large targets
+    # use_pallas_nn (legacy) maps True->'pallas', False->'dense' when
+    # nn_method is 'auto'.
+    nn_method: str = "auto"  # 'auto' | 'dense' | 'pallas' | 'cluster'
+    cluster_group: int = 128
+    cluster_probes: int = 16
+    # Process batches bigger than this in sequential lax.map chunks of this
+    # size.  Solver throughput on one chip peaks near B~1024 and REGRESSES
+    # ~40% by B=4096 (XLA fusion strategies degrade past the VMEM-friendly
+    # footprint; measured in benchmarks/exp_batch.py) — chunking keeps every
+    # chunk at the measured knee.  Results are bitwise identical (batch
+    # elements are independent).
+    batch_chunk: Optional[int] = None
     # Normal-equation solve: 'closed' = pivot-free Cramer/Schur closed form
     # (fuses to VPU elementwise ops; valid because A is SPD), 'lu' = XLA's
     # generic batched LU (the reference's torch.linalg.inv analogue).
@@ -87,6 +106,9 @@ class ICPConfig:
                                  f"got {self.loss_name}")
         if self.driver not in ("auto", "scan", "while"):
             raise ValueError(f"driver must be auto|scan|while, got {self.driver}")
+        if self.nn_method not in ("auto", "dense", "pallas", "cluster"):
+            raise ValueError(f"nn_method must be auto|dense|pallas|cluster, "
+                             f"got {self.nn_method}")
         if self.solve_method not in ("closed", "lu"):
             raise ValueError(f"solve_method must be closed|lu, got {self.solve_method}")
 
@@ -95,6 +117,22 @@ class ICPConfig:
             return self.driver
         # Reverse-mode AD cannot flow through lax.while_loop; scan for diff.
         return "scan" if self.differentiable else "while"
+
+    def resolved_nn_method(self, n: int, m: int, on_cpu: bool) -> str:
+        """Concrete correspondence backend for an (n, m) problem."""
+        if self.nn_method != "auto":
+            return self.nn_method
+        if self.use_pallas_nn is not None:      # legacy switch
+            return "pallas" if self.use_pallas_nn else "dense"
+        from dicp_tpu.knn import _PALLAS_THRESHOLD
+
+        if n * m <= _PALLAS_THRESHOLD:
+            return "dense"
+        # cluster needs enough groups for pruning to pay; pallas covers the
+        # mid range (and CPU interpret-mode pallas is slow -> cluster there)
+        if m >= 16384 or on_cpu:
+            return "cluster"
+        return "pallas"
 
     def with_(self, **kw) -> "ICPConfig":
         return dataclasses.replace(self, **kw)

@@ -111,12 +111,21 @@ def _fp_bwd(cfg, saved, res_bar):
     if cfg.icp_type == "pt2pt":
         w_prior = w_prior[..., ::3]            # undo the x3 expansion
 
-    # fixed correspondences at theta* — Pallas dispatch for large clouds
-    # (the dense path materializes the (N, n, m) distance matrix the forward
-    # deliberately avoids)
+    # fixed correspondences at theta* — same backend resolution as the
+    # solver (dense / pallas / cluster), so the backward never materializes
+    # a distance matrix the forward avoided
     ps_t = jnp.einsum("nij,npj->npi", C_star, src[..., :3]) + r_star[:, None, :]
     n_, m_ = ps_t.shape[-2], tgt.shape[-2]
-    if n_ * m_ > knn._PALLAS_THRESHOLD and jax.default_backend() != "cpu":
+    method = cfg.resolved_nn_method(n_, m_, jax.default_backend() == "cpu")
+    if method == "cluster":
+        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+
+        index = jax.vmap(lambda t: build_cluster_index(t, cfg.cluster_group))(
+            lax.stop_gradient(tgt[..., :3]))
+        idx, _, _ = jax.vmap(
+            lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes))(
+            index, lax.stop_gradient(ps_t))
+    elif method == "pallas":
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
 
         idx = nn_indices_pallas(lax.stop_gradient(ps_t),
@@ -257,6 +266,15 @@ def register_ift(
     """
     if cfg.use_gumbel:
         raise ValueError("IFT gradients require hard (deterministic) NN")
+    if cfg.batch_chunk is not None and source.shape[0] > cfg.batch_chunk:
+        # sequential knee-sized chunks (see ICPConfig.batch_chunk); the
+        # custom_vjp differentiates per chunk under lax.map's scan
+        from dicp_tpu.registration import _chunked_over_batch
+
+        sub = cfg.with_(batch_chunk=None)
+        return _chunked_over_batch(
+            lambda s, t, ti, w, k: register_ift(s, t, ti, w, sub),
+            cfg.batch_chunk, source, target, T_init, weight, None)
     with jax.default_matmul_precision("float32"):
         # ONE forward solve: the custom_vjp returns the full ICPResult
         # (histories/stats detached by contract); pc is recomputed

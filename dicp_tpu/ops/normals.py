@@ -80,9 +80,33 @@ def _vmap_leading(fn, x, ndim_core=2):
 
 
 def knn_indices(points: jnp.ndarray, k: int,
-                query: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Indices of the k nearest points (incl. self) for each query (..., n, k)."""
+                query: Optional[jnp.ndarray] = None,
+                method: str = "auto",
+                cluster_group: int = 128,
+                cluster_probes: int = 16) -> jnp.ndarray:
+    """Indices of the k nearest points (incl. self) for each query (..., n, k).
+
+    ``method='dense'`` materializes the (n, m) distance matrix + lax.top_k —
+    fine to ~10k points, 40 GB at 100k.  ``'cluster'`` uses the Hilbert
+    cluster-pruned exact search (ops/cluster_knn) with O(n * probes * group)
+    cost and memory — the scale path.  ``'auto'`` switches on problem size.
+    """
     q = points if query is None else query
+    n, m = q.shape[-2], points.shape[-2]
+    if method == "auto":
+        method = "cluster" if n * m > 4096 * 4096 else "dense"
+    if method == "cluster":
+        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_knn
+
+        def one(pts, qq):
+            index = build_cluster_index(pts, cluster_group)
+            idx, _, _ = cluster_knn(index, qq, k=k, probes=cluster_probes)
+            return idx
+
+        fn = one
+        for _ in range(q.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(points[..., :3], q[..., :3])
     d2 = pairwise_sq_dist(q, points)
     _, idx = jax.lax.top_k(-d2, k)
     return idx
@@ -105,16 +129,19 @@ def estimate_normals(
     k: int = 16,
     viewpoint: Optional[jnp.ndarray] = None,
     neighbor_idx: Optional[jnp.ndarray] = None,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """PCA normals for a 3-D cloud (..., n, 3) -> unit normals (..., n, 3).
 
     ``viewpoint`` (3,) orients normals to face it (default: the origin — the
     LiDAR sensor frame convention).  ``neighbor_idx`` (..., n, k) skips the
-    internal kNN (reuse the solver's correspondence machinery).
+    internal kNN (reuse the solver's correspondence machinery).  ``method``
+    selects the kNN backend (see :func:`knn_indices`); 'auto' keeps 100k+
+    clouds on the cluster-pruned path — no (n, n) matrix is ever built.
     """
     pts = points[..., :3]
     if neighbor_idx is None:
-        neighbor_idx = knn_indices(pts, k)
+        neighbor_idx = knn_indices(pts, k, method=method)
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), pts.dtype)
 

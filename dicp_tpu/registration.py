@@ -124,7 +124,43 @@ def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
     return source, target, weight, C, r
 
 
-def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
+def _make_corr_fn(cfg: ICPConfig, source, target):
+    """Correspondence closure built ONCE per solve (outside the GN loop).
+
+    The target is constant across iterations, so the cluster backend's
+    Hilbert index (ops/cluster_knn) is built here and amortized over every
+    iteration — the structural win a per-step knn call cannot express.
+    Gradients keep hard-NN semantics: indices are ints (implicitly detached),
+    values flow through the gather into ``target``."""
+    n, m = source.shape[-2], target.shape[-2]
+    method = cfg.resolved_nn_method(n, m, jax.default_backend() == "cpu")
+    if method == "cluster":
+        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+
+        index = jax.vmap(
+            lambda t: build_cluster_index(t, cfg.cluster_group))(
+            lax.stop_gradient(target[..., :3]))
+
+        def corr(ps_t):
+            idx, _, _ = jax.vmap(
+                lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes))(
+                index, lax.stop_gradient(ps_t))
+            return knn.gather_rows(target, idx)
+
+        return corr
+
+    use_pallas = method == "pallas"
+
+    def corr(ps_t):
+        # find_nn_normalized, NOT find_nn: inputs here are already (N, n, 3)
+        # and (N, m, 3|6); the public entry's transpose heuristic misreads
+        # 3-point clouds as (3, n) layout and corrupts correspondences.
+        return knn.find_nn_normalized(ps_t, target, use_pallas=use_pallas)
+
+    return corr
+
+
+def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
     """One Gauss-Newton iteration (body of the hot loop, dICP/ICP.py:132-217).
 
     Returns (C_new, r_new, delta6 (N,6), w (N,P), cost (N,)).
@@ -141,10 +177,7 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key):
     if cfg.differentiable and cfg.use_gumbel:
         nn6 = knn.gumbel_nn(ps_t, target, key, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps)
     else:
-        # find_nn_normalized, NOT find_nn: inputs here are already (N, n, 3)
-        # and (N, m, 3|6); the public entry's transpose heuristic misreads
-        # 3-point clouds as (3, n) layout and corrupts correspondences.
-        nn6 = knn.find_nn_normalized(ps_t, target, use_pallas=cfg.use_pallas_nn)
+        nn6 = corr_fn(ps_t)
 
     nn_err = ps_t - nn6[..., :3]                         # (N, n, 3)
 
@@ -247,10 +280,10 @@ class _Carry(NamedTuple):
     w_raw: jnp.ndarray         # raw w of the last *executed* iteration
 
 
-def _apply_step(cfg: ICPConfig, source, target, carry: _Carry, it, key) -> tuple:
+def _apply_step(cfg: ICPConfig, source, target, carry: _Carry, it, key, corr_fn) -> tuple:
     """Run one iteration + bookkeeping; returns (carry', (delta, w_save, cost))."""
     dtype = source.dtype
-    C, r, delta6, w, cost = _gn_step(cfg, source, target, carry.w_init, carry.C, carry.r, key)
+    C, r, delta6, w, cost = _gn_step(cfg, source, target, carry.w_init, carry.C, carry.r, key, corr_fn)
 
     # Histories are detached in the reference (dICP/ICP.py:220-234).
     delta_out = lax.stop_gradient(delta6)
@@ -301,7 +334,7 @@ def _init_carry(cfg: ICPConfig, source, weight, C, r) -> _Carry:
     )
 
 
-def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
+def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key, corr_fn):
     """Differentiable fixed-bound driver.
 
     ``lax.scan`` over max_iterations; once every element has converged the
@@ -320,7 +353,7 @@ def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
     def run(carry_it):
         carry, it = carry_it
         k = jax.random.fold_in(key, it) if key is not None else None
-        return _apply_step(cfg, source, target, carry, it, k)
+        return _apply_step(cfg, source, target, carry, it, k, corr_fn)
 
     step = run
     if cfg.remat:
@@ -347,7 +380,7 @@ def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key):
     return carry, deltas, weights, costs
 
 
-def _run_while(cfg: ICPConfig, source, target, weight, C, r, key):
+def _run_while(cfg: ICPConfig, source, target, weight, C, r, key, corr_fn):
     """Early-exit driver for inference (non-differentiable).
 
     True ``lax.while_loop``: stops as soon as all elements converge, exactly
@@ -374,7 +407,7 @@ def _run_while(cfg: ICPConfig, source, target, weight, C, r, key):
     def body(state):
         carry, it, hist = state
         k = jax.random.fold_in(key, it) if key is not None else None
-        carry, (delta, w_save, cost) = _apply_step(cfg, source, target, carry, it, k)
+        carry, (delta, w_save, cost) = _apply_step(cfg, source, target, carry, it, k, corr_fn)
         if cfg.collect_histories:
             hd, hw, hc = hist
             hist = (hd.at[it].set(delta), hw.at[it].set(w_save), hc.at[it].set(cost))
@@ -453,15 +486,51 @@ def register(
     # distance matrices and the accumulated rotation chain by ~1e-2 — pin
     # full-precision matmuls for everything traced inside the solver.
     with jax.default_matmul_precision("float32"):
+        if cfg.batch_chunk is not None and source.shape[0] > cfg.batch_chunk:
+            return _chunked_over_batch(
+                lambda s, t, ti, w, k: _register_impl(s, t, ti, w, cfg, k),
+                cfg.batch_chunk, source, target, T_init, weight, key)
         return _register_impl(source, target, T_init, weight, cfg, key)
+
+
+def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
+    """Apply ``call`` over sequential batch chunks with ``lax.map``.
+
+    Bitwise-identical to one big call (batch elements are independent); keeps
+    every chunk at the solver's measured throughput knee (see
+    ``ICPConfig.batch_chunk``).  The batch is edge-padded to a chunk multiple
+    and results sliced back."""
+    N = source.shape[0]
+    nc = -(-N // chunk)
+    pad = nc * chunk - N
+    if weight is None:
+        weight = jnp.ones(source.shape[:-1], dtype=source.dtype)
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        return a.reshape((nc, chunk) + a.shape[1:])
+
+    operands = (prep(source), prep(target), prep(T_init), prep(weight),
+                jnp.arange(nc))
+
+    def body(args):
+        s, t, ti, w, i = args
+        k = jax.random.fold_in(key, i) if key is not None else None
+        return call(s, t, ti, w, k)
+
+    out = lax.map(body, operands)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((nc * chunk,) + o.shape[2:])[:N], out)
 
 
 def _register_impl(source, target, T_init, weight, cfg, key):
     source, target, weight, C, r = _preprocess(cfg, source, target, T_init, weight)
+    corr_fn = _make_corr_fn(cfg, source, target)
 
     driver = cfg.resolved_driver()
     if driver == "scan":
-        carry, deltas, weights, costs = _run_scan(cfg, source, target, weight, C, r, key)
+        carry, deltas, weights, costs = _run_scan(cfg, source, target, weight, C, r, key, corr_fn)
         if cfg.const_iter:
             it_final = jnp.asarray(cfg.max_iterations, source.dtype)
         else:
@@ -472,7 +541,7 @@ def _register_impl(source, target, T_init, weight, cfg, key):
                                  jnp.asarray(float(cfg.max_iterations), source.dtype))
     else:
         carry, deltas, weights, costs, it_final = _run_while(
-            cfg, source, target, weight, C, r, key)
+            cfg, source, target, weight, C, r, key, corr_fn)
 
     return _finalize(cfg, source, carry, deltas, weights, costs, it_final)
 
