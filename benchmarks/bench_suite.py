@@ -203,7 +203,12 @@ def bench_large_cloud():
     target = jnp.asarray(_make_scene(n))
     xi = jnp.asarray(np.array([0.2, -0.1, 0.05, 0.01, -0.02, 0.03], np.float32))
     T_st = se3.vec2tran(xi)
-    source = target[:, :3] @ T_st[:3, :3].T + T_st[:3, 3]
+    # generate the source on HOST in f64: a device matmul here would run in
+    # the TPU's default bf16 and corrupt the ground-truth data by ~0.04 m
+    # (round 1 misread the resulting ~3e-3 as voxel quantization)
+    T_np = np.asarray(T_st).astype(np.float64)
+    source = jnp.asarray((np.asarray(target[:, :3], np.float64) @ T_np[:3, :3].T
+                          + T_np[:3, 3]).astype(np.float32))
 
     # brute-force Pallas kernel alone (the exact O(n*m) floor)
     def knn_step(s, tgt3):
@@ -286,7 +291,7 @@ def bench_normals():
     target3 = jnp.asarray(scene[:, :3])
     true_n = scene[:, 3:6]
 
-    est = jax.jit(lambda p: estimate_normals(p, k=16, method="cluster"))
+    est = jax.jit(lambda p: estimate_normals(p, method="weighted"))
 
     def step(p):
         return jnp.sum(est(p)) * 1e-9
@@ -295,14 +300,16 @@ def bench_normals():
     nrm = np.asarray(est(target3))
     # orientation-agnostic accuracy vs the scene's exact normals
     dots = np.abs(np.sum(nrm * true_n, axis=-1))
-    _emit("normals_100k", dt * 1e3, "ms", k=16,
+    _emit("normals_100k", dt * 1e3, "ms", method="weighted",
           mean_abs_dot_vs_truth=round(float(dots.mean()), 6),
           pct_within_5deg=round(100 * float((dots > np.cos(np.radians(5))).mean()), 3))
 
     # e2e: registration computing its own normals (VERDICT r2 #3 criterion)
     xi = jnp.asarray(np.array([0.2, -0.1, 0.05, 0.01, -0.02, 0.03], np.float32))
     T_st = se3.vec2tran(xi)
-    source = target3 @ T_st[:3, :3].T + T_st[:3, 3]
+    T_np = np.asarray(T_st).astype(np.float64)  # host f64: avoid bf16 device matmul
+    source = jnp.asarray((np.asarray(target3, np.float64) @ T_np[:3, :3].T
+                          + T_np[:3, 3]).astype(np.float32))
     cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
                     tolerance=1e-5, dim=3, trim_dist=2.0,
                     loss_name="huber", loss_metric=1.0, nn_method="cluster")
@@ -388,13 +395,8 @@ def bench_pipeline():
                  np.hstack([scan, np.zeros((scan.shape[0], 1), np.float32)]))
         T = T @ T_step
 
-    max_pts = 4096
-    cfg = ICPConfig(icp_type="pt2pt", differentiable=False, max_iterations=30,
-                    tolerance=1e-5, dim=3, trim_dist=1.0,
-                    loss_name="huber", loss_metric=0.5)
-
-    def run_pipeline(shift):
-        ds = ScanDataset.from_dir(tmpdir, max_points=max_pts, voxel=0.4,
+    def run_pipeline(shift, voxel, max_pts, cfg):
+        ds = ScanDataset.from_dir(tmpdir, max_points=max_pts, voxel=voxel,
                                   workers=4, prefetch=4)
         prev = None
         rels = []
@@ -410,15 +412,41 @@ def bench_pipeline():
         # host fetch of every transform forces all solves to really run
         return np.asarray(jnp.stack(rels))
 
-    run_pipeline(np.float32(0))  # compile + warm
-    t0 = time.time()
-    rels = run_pipeline(np.float32(1e-7))
-    dt = time.time() - t0
     step_inv = np.asarray(se3.tran_inv(jnp.asarray(T_step)))
-    err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
-        jnp.asarray(r @ step_inv)))) for r in rels]))
-    _emit("pipeline_stream", S / dt, "frames/s", rel_err=err, scans=S,
-          raw_pts=60_000, voxel_pts=max_pts)
+
+    # Accuracy-vs-voxel sweep (VERDICT r2 #8): coarse voxels quantize the
+    # clouds DIFFERENTLY per pose, so corresponding points cease to exist and
+    # the fixed point shifts.  The cluster-kNN solver makes fine/raw
+    # resolutions affordable, so the default is chosen to meet rel_err<=1e-3.
+    sweep = [
+        (0.4, 4096, "pallas"),        # round-1 setting (kept for comparison)
+        (0.2, 16384, "cluster"),
+        (0.1, 65536, "cluster"),
+        (None, 61440, "cluster"),     # raw full-resolution scans
+    ]
+    results = {}
+    for voxel, max_pts, nn in sweep:
+        cfg = ICPConfig(icp_type="pt2pt", differentiable=False,
+                        max_iterations=30, tolerance=1e-5, dim=3,
+                        trim_dist=1.0, loss_name="huber", loss_metric=0.5,
+                        nn_method=nn)
+        run_pipeline(np.float32(0), voxel, max_pts, cfg)  # compile + warm
+        t0 = time.time()
+        rels = run_pipeline(np.float32(1e-7), voxel, max_pts, cfg)
+        dt = time.time() - t0
+        err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
+            jnp.asarray(r @ step_inv)))) for r in rels]))
+        tag = "raw" if voxel is None else str(voxel)
+        results[tag] = (S / dt, err)
+        _emit(f"pipeline_sweep_voxel_{tag}", S / dt, "frames/s", rel_err=err,
+              scans=S, raw_pts=60_000, max_pts=max_pts, nn_method=nn)
+
+    # headline = finest setting that meets the 1e-3 accuracy bound
+    ok = [(tag, f, e) for tag, (f, e) in results.items() if e <= 1e-3]
+    tag, fps, err = max(ok, key=lambda t: t[1]) if ok else \
+        min(((t, f, e) for t, (f, e) in results.items()), key=lambda t: t[2])
+    _emit("pipeline_stream", fps, "frames/s", rel_err=err, scans=S,
+          chosen_voxel=tag)
 
 
 ALL = {

@@ -75,8 +75,10 @@ class ICPConfig:
     # use_pallas_nn (legacy) maps True->'pallas', False->'dense' when
     # nn_method is 'auto'.
     nn_method: str = "auto"  # 'auto' | 'dense' | 'pallas' | 'cluster'
+    # Measured on-chip sweet spot (100k x 100k): g=128/P=32 -> 12 ms,
+    # 99.98% agreement with brute force, 99.3% certified-exact (BENCH.md).
     cluster_group: int = 128
-    cluster_probes: int = 16
+    cluster_probes: int = 32
     # Process batches bigger than this in sequential lax.map chunks of this
     # size.  Solver throughput on one chip peaks near B~1024 and REGRESSES
     # ~40% by B=4096 (XLA fusion strategies degrade past the VMEM-friendly

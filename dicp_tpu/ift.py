@@ -79,10 +79,13 @@ def _fixed_point_res(cfg: ICPConfig, source, target, weight, T_init):
     DIFFERENT fixed point than the hard forms on noisy data; the backward
     linearizes the smooth stationarity, so the forward must converge to the
     smooth fixed point.  The while driver is safe here because custom_vjp
-    never differentiates through it.
+    never differentiates through it.  With ``const_iter`` the fixed-count
+    scan driver is used instead — fully unrollable, no convergence
+    branches, the highest-throughput serving shape.
     """
+    driver = "scan" if cfg.const_iter else "while"
     return register_jit(source, target, T_init, weight,
-                        cfg=cfg.with_(differentiable=True, driver="while"))
+                        cfg=cfg.with_(differentiable=True, driver=driver))
 
 
 def _fp_fwd(cfg, source, target, weight, T_init):

@@ -4,31 +4,38 @@ The brute-force (n, m) kernel (``ops/pallas_knn``) is compute-floor-bound at
 ~62 ms for 100k x 100k on one v5e chip: the distance tile needs ~6 VPU ops
 per pair in exact f32 (MXU score-form variants measured slower — the K=8
 matmul is row-streaming-bound, see benchmarks/exp_knn.py).  This module
-replaces O(n*m) with an O(n * probes * group) EXACT search, the TPU-native
+replaces O(n*m) with an O(n * probes * group) EXACT search — the TPU-native
 answer to the kd-trees a CPU/CUDA library would use (the reference has no
-index at all — torch.cdist at dICP/nn.py:32-38):
+index at all — torch.cdist at dICP/nn.py:32-38).
+
+Design (third iteration; see BENCH.md for the measured evolution):
 
 1. **Build** (once per target cloud — the target is constant across all GN
    iterations of a registration): Hilbert-sort the m points (one device
    radix sort; Hilbert, not Morton — octant jumps in the Morton curve
    produce ~2.5x looser covering radii), split the sorted order into G
-   contiguous groups of ``g`` points, record each group's center and
-   covering radius.  The jump-free curve makes every group compact.
-2. **Query**: per query, lower-bound the distance to every group
-   (``max(0, |x-c| - r)^2`` — n*G pairs, thousands of times smaller than
-   n*m), take the P most promising groups with ``lax.top_k``, and search
-   only their P*g candidates exactly.
-3. **Certificate**: the search is provably exact for a query whenever its
-   found distance is <= the lower bound of the best *excluded* group
-   (the (P+1)-th smallest LB).  ``certified`` reports this per query; P=16/g=128
-   certifies ~100% even on uniform-volume clouds (the hardest case).  (All bounds are
-   computed with a few-ulp conservative slack so f32 rounding cannot
-   invalidate the certificate.)
+   contiguous groups of ``g`` points, record per-group center + covering
+   radius.  The jump-free curve makes every group compact.
+2. **Block-scattered query**: sort the queries along the same curve (same
+   quantization frame), form blocks of ~128 consecutive queries with a
+   center+radius cover each, and select each BLOCK's top-P groups by the
+   block-level lower bound ``max(0, |o-c| - r_blk - r_grp)^2`` — a
+   (n/128, G) top_k instead of the (n, G) one that measured 31 ms at 100k
+   (per-query lax.top_k was the bottleneck of design #1; contiguous-window
+   search, design #2, was fast but could not certify).  Every query in a
+   block searches the block's P*g gathered candidates exactly.
+3. **Certificate**: per query, exact iff its found distance <= the
+   PER-QUERY lower bound minimized over all non-selected groups (the
+   (n, G) LB matrix costs only ~0.6 ms — it was never the expensive part).
+   Sound by construction: a non-selected group's true points are at
+   distance >= its LB.  All bounds carry a few-ulp conservative slack so
+   f32 rounding can only loosen the certificate, never fake it; the
+   certificate may under-claim, never lie (tested adversarially).
 
-Static shapes throughout (G, g, P all shape-derived or constant) — the whole
-thing jits and vmaps.  Tie-breaking inside the candidate set follows probe
-order (best-LB group first), not the reference's global-lowest-index rule —
-ties are exact-equal distances, immaterial for ICP.
+Static shapes throughout — the whole thing jits and vmaps.  Tie-breaking
+follows candidate order (block probe order), not the reference's
+global-lowest-index rule — ties are exact-equal distances, immaterial for
+ICP.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 _SENTINEL = 1.0e15  # pad coordinate: d2 ~ 3e30, finite in f32, never wins
+_QBLOCK = 128       # queries per selection block
 
 
 class ClusterIndex(NamedTuple):
@@ -50,12 +58,15 @@ class ClusterIndex(NamedTuple):
     centers (G, 3)     per-group mean of REAL points
     radius  (G,)       covering radius over real points (ulp-inflated)
     order   (G*g,)     sorted position -> original row (pads -> 0)
+    frame   (2, 3)     f32 [bbox lo; bbox extent] — queries are curve-sorted
+                       in this same quantization frame
     """
 
     points: jnp.ndarray
     centers: jnp.ndarray
     radius: jnp.ndarray
     order: jnp.ndarray
+    frame: jnp.ndarray
 
 
 def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
@@ -67,40 +78,50 @@ def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _bbox_frame(points: jnp.ndarray) -> jnp.ndarray:
+    p = points[..., :3].astype(jnp.float32)
+    lo = jnp.min(p, axis=-2)
+    extent = jnp.maximum(jnp.max(p, axis=-2) - lo, jnp.float32(1e-30))
+    return jnp.stack([lo, extent])
+
+
+def _quantize(points: jnp.ndarray, frame: jnp.ndarray,
+              bits: int = 10) -> jnp.ndarray:
+    p = points[..., :3].astype(jnp.float32)
+    n = float(1 << bits)
+    q = (p - frame[0]) / frame[1] * n
+    return jnp.clip(q, 0.0, n - 1.0).astype(jnp.uint32)
+
+
 def morton_keys(points: jnp.ndarray) -> jnp.ndarray:
     """(m, 3) -> (m,) uint32 Morton codes on a 1024^3 grid over the bbox.
 
-    Grid resolution only affects grouping quality, never correctness — the
-    exactness certificate is geometric (center + radius), not grid-based.
-    """
-    q = _quantize(points)
+    Kept for comparison/tests; the index uses :func:`hilbert_keys` (compact
+    groups).  Grid resolution only affects grouping quality, never
+    correctness — the exactness certificate is geometric."""
+    q = _quantize(points, _bbox_frame(points))
     return (_part1by2(q[..., 0])
             | (_part1by2(q[..., 1]) << 1)
             | (_part1by2(q[..., 2]) << 2))
 
 
-def _quantize(points: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
-    p = points[..., :3].astype(jnp.float32)
-    lo = jnp.min(p, axis=-2, keepdims=True)
-    extent = jnp.max(p, axis=-2, keepdims=True) - lo
-    extent = jnp.maximum(extent, jnp.float32(1e-30))
-    n = float(1 << bits)
-    return jnp.clip((p - lo) / extent * n, 0.0, n - 1.0).astype(jnp.uint32)
-
-
-def hilbert_keys(points: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
-    """(m, 3) -> (m,) uint32 Hilbert-curve indices on a 1024^3 grid.
+def hilbert_keys(points: jnp.ndarray, bits: int = 10,
+                 frame: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(m, 3) -> (m,) int32 Hilbert-curve indices on a 1024^3 grid.
 
     Unlike Morton, the Hilbert curve has no octant discontinuities, so
     equal-count runs of the sorted order form COMPACT groups (measured:
-    ~2.5x smaller mean covering radius on uniform clouds, which directly
-    tightens the pruning bounds).  Skilling's transpose algorithm
-    (AxestoTranspose, "Programming the Hilbert curve", 2004) vectorized as
-    pure uint32 ops over the whole cloud.
+    ~2.5x smaller mean covering radius on uniform clouds) and consecutive
+    sorted queries are spatial neighbors (the block-scattered query exploits
+    this).  Skilling's transpose algorithm ("Programming the Hilbert
+    curve", 2004) vectorized as pure uint32 ops over the whole cloud.  Keys
+    are < 2^30, returned as int32.  ``frame`` fixes the quantization bbox
+    (queries must reuse the index's frame).
     """
-    q = _quantize(points, bits)
+    if frame is None:
+        frame = _bbox_frame(points)
+    q = _quantize(points, frame, bits)
     X = [q[..., 0], q[..., 1], q[..., 2]]
-    M = jnp.uint32(1 << (bits - 1))
 
     # inverse-undo excess work
     Q = 1 << (bits - 1)
@@ -129,7 +150,8 @@ def hilbert_keys(points: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
 
     # transpose -> single index: X[0] holds the most-significant bit of each
     # 3-bit level
-    return (_part1by2(X[0]) << 2) | (_part1by2(X[1]) << 1) | _part1by2(X[2])
+    key = (_part1by2(X[0]) << 2) | (_part1by2(X[1]) << 1) | _part1by2(X[2])
+    return key.astype(jnp.int32)  # < 2^30: sign-safe
 
 
 def build_cluster_index(points: jnp.ndarray, group_size: int = 128) -> ClusterIndex:
@@ -140,7 +162,9 @@ def build_cluster_index(points: jnp.ndarray, group_size: int = 128) -> ClusterIn
     G = -(-m // g)
     pad = G * g - m
 
-    order = jnp.argsort(hilbert_keys(pts)).astype(jnp.int32)
+    frame = _bbox_frame(pts)
+    keys = hilbert_keys(pts, frame=frame)
+    order = jnp.argsort(keys).astype(jnp.int32)
     sorted_pts = jnp.take(pts, order, axis=0)
     if pad:
         sorted_pts = jnp.concatenate(
@@ -156,96 +180,154 @@ def build_cluster_index(points: jnp.ndarray, group_size: int = 128) -> ClusterIn
     eps8 = 8.0 * jnp.finfo(jnp.float32).eps
     radius = jnp.max(jnp.where(valid, d, 0.0), axis=1) * (1.0 + eps8)
     return ClusterIndex(points=grouped, centers=centers, radius=radius,
-                        order=order)
+                        order=order, frame=frame)
 
 
-def _group_bounds(index: ClusterIndex, x: jnp.ndarray, probes: int):
-    """Per-query probe groups + exactness bound.
+def _sorted_blocks(index: ClusterIndex, x: jnp.ndarray):
+    """Sort queries along the index's curve and cut into _QBLOCK blocks.
 
-    Returns (gsel (n, P) int32, bound (n,) — LB of the best excluded group,
-    +inf when nothing is excluded)."""
+    Returns (xb (nb, Qb, 3), inv (n,) unsort permutation, n)."""
+    n = x.shape[0]
+    kq = hilbert_keys(x, frame=index.frame)
+    qord = jnp.argsort(kq)
+    xs = jnp.take(x, qord, axis=0)
+    Qb = min(_QBLOCK, n)
+    nb = -(-n // Qb)
+    pad = nb * Qb - n
+    if pad:
+        xs = jnp.concatenate([xs, jnp.repeat(xs[-1:], pad, axis=0)])
+    return xs.reshape(nb, Qb, 3), jnp.argsort(qord), n
+
+
+def _block_select(index: ClusterIndex, xb: jnp.ndarray, probes: int):
+    """Top-P groups per query BLOCK by the block-level lower bound.
+
+    Sound covering: the block bound max(0, |o-c| - r_blk - r_grp)^2 lower-
+    bounds every member query's own group bound, so ranking by it can only
+    select a superset-quality probe set.  Returns bsel (nb, P) int32."""
     G = index.points.shape[0]
     P = min(int(probes), G)
-    d2c = jnp.sum((x[:, None, :] - index.centers[None]) ** 2, axis=-1)
-    eps8 = 8.0 * jnp.finfo(jnp.float32).eps
-    dc = jnp.sqrt(d2c) * (1.0 - eps8)          # conservative under rounding
-    lb = jnp.maximum(dc - index.radius[None], 0.0) ** 2
+    o = jnp.mean(xb, axis=1)                                   # (nb, 3)
+    rb = jnp.max(jnp.linalg.norm(xb - o[:, None, :], axis=-1), axis=1)
+    doc = jnp.linalg.norm(o[:, None, :] - index.centers[None].astype(o.dtype),
+                          axis=-1)                             # (nb, G)
+    # rank by the UNCLAMPED margin: when the block cover overlaps many group
+    # balls (sparse queries -> large r_blk), the clamped bound ties at 0 and
+    # top_k would pick arbitrary groups; the signed margin still orders
+    # overlapping groups by depth of overlap
+    lbb = doc - rb[:, None] - index.radius[None].astype(o.dtype)
     if P < G:
-        neg, gsel = lax.top_k(-lb, P + 1)
-        bound = -neg[:, P]
-        gsel = gsel[:, :P]
+        _, bsel = lax.top_k(-lbb, P)                           # tiny: (nb, G)
     else:
-        gsel = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), (x.shape[0], G))
-        bound = jnp.full((x.shape[0],), jnp.inf, x.dtype)
-    return gsel.astype(jnp.int32), bound
+        bsel = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32),
+                                (xb.shape[0], G))
+    return bsel.astype(jnp.int32), P
 
 
-def _chunked(fn, x, gsel, chunk):
-    """Run fn over query chunks with lax.map; pads n to a chunk multiple."""
-    n = x.shape[0]
-    Q = min(int(chunk), n)
-    nc = -(-n // Q)
-    pad = nc * Q - n
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-        gsel = jnp.concatenate([gsel, jnp.zeros((pad,) + gsel.shape[1:], gsel.dtype)])
-    out = lax.map(fn, (x.reshape(nc, Q, *x.shape[1:]),
-                       gsel.reshape(nc, Q, *gsel.shape[1:])))
-    return jax.tree_util.tree_map(
-        lambda o: o.reshape((nc * Q,) + o.shape[2:])[:n], out)
+def _query_bounds(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray):
+    """Per-query exactness bound: min group lower bound over NON-selected
+    groups.  (nb, Qb, 3) x (nb, P) -> (nb, Qb).
+
+    Conservative under f32 rounding: the diff-form |x-c| is computed to
+    relative accuracy, deflated a few ulps; group radii are inflated at
+    build time."""
+    G = index.points.shape[0]
+    dtype = xb.dtype
+    c = index.centers.astype(dtype)
+    dc = jnp.linalg.norm(xb[:, :, None, :] - c[None, None, :, :], axis=-1)
+    eps8 = jnp.asarray(8.0 * jnp.finfo(jnp.float32).eps, dtype)
+    lb = jnp.maximum(dc * (1.0 - eps8) - index.radius[None, None].astype(dtype),
+                     0.0) ** 2                                  # (nb, Qb, G)
+    mask = jnp.zeros((xb.shape[0], G), dtype).at[
+        jnp.arange(xb.shape[0])[:, None], bsel].set(jnp.inf)
+    return jnp.min(lb + mask[:, None, :], axis=-1)              # (nb, Qb)
 
 
-@functools.partial(jax.jit, static_argnames=("probes", "chunk"))
+def _candidate_d2(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray):
+    """Exact squared distances to the block's P*g candidates.
+
+    Returns (d2 (nb, Qb, P*g), pos (nb, P*g) — sorted-cloud row of each
+    candidate)."""
+    g = index.points.shape[1]
+    nb, P = bsel.shape
+    cand = index.points[bsel].astype(xb.dtype)                  # (nb, P, g, 3)
+    cand = cand.reshape(nb, P * g, 3)
+    d2 = jnp.sum((xb[:, :, None, :] - cand[:, None, :, :]) ** 2, axis=-1)
+    pos = (bsel[:, :, None] * g
+           + jnp.arange(g, dtype=jnp.int32)[None, None, :]).reshape(nb, P * g)
+    return d2, pos
+
+
+def _unsort(arr, inv, n):
+    flat = arr.reshape((-1,) + arr.shape[2:])[:n]
+    return jnp.take(flat, inv, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("probes",))
 def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
-               chunk: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified 1-NN: (n, 3) queries -> (idx (n,), d2 (n,), certified (n,)).
 
     ``idx`` indexes the ORIGINAL target rows.  ``certified[i]`` is True when
     the result is provably the global argmin (see module docstring).
     """
-    g = index.points.shape[1]
-    gsel, bound = _group_bounds(index, x[..., :3], probes)
-
-    def search(args):
-        xq, gs = args                                  # (Q, 3), (Q, P)
-        cand = index.points[gs]                        # (Q, P, g, 3) gather
-        d2 = jnp.sum((xq[:, None, None, :] - cand) ** 2, axis=-1)
-        d2 = d2.reshape(xq.shape[0], -1)               # (Q, P*g)
-        j = jnp.argmin(d2, axis=-1)
-        best = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-        pos = jnp.take_along_axis(gs, (j // g)[:, None], axis=-1)[:, 0] * g + j % g
-        return index.order[pos], best
-
-    idx, best = _chunked(search, x[..., :3], gsel, chunk)
-    return idx, best, best <= bound
+    xb, inv, n = _sorted_blocks(index, x[..., :3])
+    bsel, P = _block_select(index, xb, probes)
+    d2, pos = _candidate_d2(index, xb, bsel)                    # (nb, Qb, P*g)
+    j = jnp.argmin(d2, axis=-1)                                 # (nb, Qb)
+    best = jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0]
+    rows = jnp.take_along_axis(pos, j, axis=-1)                 # (nb, Qb)
+    idx = index.order[rows]
+    bound = _query_bounds(index, xb, bsel)
+    return (_unsort(idx, inv, n), _unsort(best, inv, n),
+            _unsort(best <= bound, inv, n))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "probes", "chunk"))
+def _topk_small(d2: jnp.ndarray, k: int):
+    """Ascending top-k by iterative argmin extraction.
+
+    ``lax.top_k`` lowers to a per-row sort on TPU — measured 115 ms for
+    (100k, 2048) k=16; k unrolled min/argmin/mask passes cost ~4 VPU passes
+    each instead.  Stable (lowest index on ties), exact."""
+    vals, idxs = [], []
+    cur = d2
+    col = jnp.arange(d2.shape[-1], dtype=jnp.int32)
+    big = jnp.asarray(jnp.inf, d2.dtype)
+    for _ in range(k):
+        m = jnp.min(cur, axis=-1)
+        j = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        vals.append(m)
+        idxs.append(j)
+        cur = jnp.where(col == j[..., None], big, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "probes"))
 def cluster_knn(index: ClusterIndex, x: jnp.ndarray, k: int, probes: int = 16,
-                chunk: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified k-NN: -> (idx (n, k), d2 (n, k), certified (n,)).
 
     Neighbors are sorted by ascending distance.  ``certified`` requires the
-    k-th distance to beat the best excluded group's lower bound."""
-    g = index.points.shape[1]
-    gsel, bound = _group_bounds(index, x[..., :3], probes)
-
-    def search(args):
-        xq, gs = args
-        cand = index.points[gs]
-        d2 = jnp.sum((xq[:, None, None, :] - cand) ** 2, axis=-1)
-        d2 = d2.reshape(xq.shape[0], -1)
-        neg, j = lax.top_k(-d2, k)                     # (Q, k) ascending d2
-        pos = jnp.take_along_axis(gs, j // g, axis=-1) * g + j % g
-        return index.order[pos], -neg
-
-    idx, d2k = _chunked(search, x[..., :3], gsel, chunk)
-    return idx, d2k, d2k[:, -1] <= bound
+    k-th distance to beat the best non-selected group's lower bound."""
+    xb, inv, n = _sorted_blocks(index, x[..., :3])
+    bsel, P = _block_select(index, xb, probes)
+    d2, pos = _candidate_d2(index, xb, bsel)
+    if k <= 32:
+        d2k, j = _topk_small(d2, k)                             # (nb, Qb, k)
+    else:
+        neg, j = lax.top_k(-d2, k)
+        d2k = -neg
+    rows = jnp.take_along_axis(
+        jnp.broadcast_to(pos[:, None, :], d2.shape), j, axis=-1)
+    idx = index.order[rows]
+    bound = _query_bounds(index, xb, bsel)
+    return (_unsort(idx, inv, n), _unsort(d2k, inv, n),
+            _unsort(d2k[..., -1] <= bound, inv, n))
 
 
 def cluster_nn_verified(points_target: jnp.ndarray, x: jnp.ndarray,
                         group_size: int = 128, probes: int = 16,
-                        max_probes: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        max_probes: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-driven fully exact 1-NN: doubles ``probes`` until every query is
     certified (each retry is a fresh jit specialization; intended for offline
     use and tests — the in-solver path uses fixed ``probes``)."""

@@ -124,6 +124,81 @@ def _normals_single(points: jnp.ndarray, neighbor_idx: jnp.ndarray,
     return jnp.where(flip, -n, n)
 
 
+def estimate_normals_weighted(
+    points: jnp.ndarray,
+    viewpoint: Optional[jnp.ndarray] = None,
+    bandwidth_scale: float = 3.5,
+    probes: int = 16,
+    group_size: int = 128,
+) -> jnp.ndarray:
+    """Kernel-weighted PCA normals — the large-cloud fast path (n, 3) -> (n, 3).
+
+    Instead of exact k-NN sets (whose top-k selection is HBM-bound on TPU —
+    ~78 ms at 100k even with iterative extraction, BENCH.md), each point's
+    covariance is an Epanechnikov-weighted moment sum over its cluster-index
+    candidates: w = max(0, 1 - d2/h2).  The moment accumulation is ONE
+    matmul with contraction over the candidates (fat K -> MXU-efficient),
+    and the per-point bandwidth h = bandwidth_scale * (1-NN distance) adapts
+    to local density.  Estimator quality matches kNN-PCA on smooth surfaces
+    (tests/test_normals.py asserts angle accuracy on analytic scenes).
+    """
+    from dicp_tpu.ops.cluster_knn import (_SENTINEL, _block_select,
+                                          _candidate_d2, _sorted_blocks,
+                                          _unsort, build_cluster_index)
+
+    pts = points[..., :3]
+    if viewpoint is None:
+        viewpoint = jnp.zeros((3,), pts.dtype)
+    with jax.default_matmul_precision("float32"):
+        index = build_cluster_index(pts, group_size)
+        xb, inv, n = _sorted_blocks(index, pts)
+        bsel, _ = _block_select(index, xb, probes)
+        d2, _ = _candidate_d2(index, xb, bsel)            # (nb, Qb, C)
+        cand = index.points[bsel].reshape(d2.shape[0], -1, 3).astype(pts.dtype)
+
+        # adaptive bandwidth from the BLOCK-median 1-NN distance: a
+        # per-query 1-NN bandwidth collapses for close pairs (h -> pair
+        # distance -> 2-point rank-1 covariance -> garbage normal); the
+        # block median tracks local density robustly (blocks are
+        # curve-contiguous, hence spatially local)
+        d2_pos = jnp.where(d2 <= 0.0, jnp.inf, d2)
+        d2_nn = jnp.min(d2_pos, axis=-1)                  # (nb, Qb)
+        d2_med = jnp.median(d2_nn, axis=-1, keepdims=True)[..., None]
+        h2 = (bandwidth_scale ** 2) * jnp.maximum(d2_nn[..., None], d2_med)
+        w = jnp.maximum(1.0 - d2 / h2, 0.0)               # Epanechnikov
+
+        # center candidates at the block mean BEFORE the moment sum: the
+        # raw-moment covariance S2/S0 - mu mu^T cancels catastrophically in
+        # f32 at scene-scale coordinates (entries ~R^2=800 vs cov ~h^2=0.1
+        # -> ~1e-3 relative noise, measured ~2 deg of normal tilt on chip);
+        # after centering the moment scale is the block extent, not R.
+        # Sentinel pads would poison the mean -> mask them out.
+        real = cand[..., 0] < _SENTINEL * 0.5              # (nb, C)
+        nreal = jnp.maximum(jnp.sum(real, axis=-1, keepdims=True), 1.0)
+        o_b = (jnp.sum(jnp.where(real[..., None], cand, 0.0), axis=-2,
+                       keepdims=True) / nreal[..., None])  # (nb, 1, 3)
+        cand = cand - o_b
+
+        # moments via ONE fat-K matmul: [S0 | S1 | S2(6)] = W @ M (C, 10)
+        one = jnp.ones(cand.shape[:-1] + (1,), cand.dtype)
+        c0, c1, c2 = cand[..., 0:1], cand[..., 1:2], cand[..., 2:3]
+        M = jnp.concatenate([one, cand, c0 * c0, c0 * c1, c0 * c2,
+                             c1 * c1, c1 * c2, c2 * c2], axis=-1)  # (nb, C, 10)
+        S = jnp.einsum("bqc,bcm->bqm", w, M)              # (nb, Qb, 10)
+        S0 = jnp.maximum(S[..., 0:1], jnp.finfo(pts.dtype).tiny)
+        mu = S[..., 1:4] / S0
+        m2 = S[..., 4:10] / S0[..., :]
+        cov = jnp.stack([
+            jnp.stack([m2[..., 0], m2[..., 1], m2[..., 2]], axis=-1),
+            jnp.stack([m2[..., 1], m2[..., 3], m2[..., 4]], axis=-1),
+            jnp.stack([m2[..., 2], m2[..., 4], m2[..., 5]], axis=-1),
+        ], axis=-2) - mu[..., :, None] * mu[..., None, :]
+        nrm = smallest_eigvec_sym3(cov)                   # (nb, Qb, 3)
+        nrm = _unsort(nrm, inv, n)
+    flip = jnp.sum(nrm * (viewpoint[None, :] - pts), axis=-1, keepdims=True) < 0.0
+    return jnp.where(flip, -nrm, nrm)
+
+
 def estimate_normals(
     points: jnp.ndarray,
     k: int = 16,
@@ -135,11 +210,21 @@ def estimate_normals(
 
     ``viewpoint`` (3,) orients normals to face it (default: the origin — the
     LiDAR sensor frame convention).  ``neighbor_idx`` (..., n, k) skips the
-    internal kNN (reuse the solver's correspondence machinery).  ``method``
-    selects the kNN backend (see :func:`knn_indices`); 'auto' keeps 100k+
-    clouds on the cluster-pruned path — no (n, n) matrix is ever built.
+    internal kNN (reuse the solver's correspondence machinery).  ``method``:
+    'dense' / 'cluster' pick the exact-kNN backend (see :func:`knn_indices`);
+    'weighted' uses :func:`estimate_normals_weighted` (fastest at scale);
+    'auto' = dense small, weighted for 100k+ clouds — no (n, n) matrix is
+    ever built.
     """
     pts = points[..., :3]
+    if method == "auto" and neighbor_idx is None:
+        n_m = pts.shape[-2] * pts.shape[-2]
+        method = "weighted" if n_m > 4096 * 4096 else "dense"
+    if method == "weighted" and neighbor_idx is None:
+        fn = functools.partial(estimate_normals_weighted, viewpoint=viewpoint)
+        for _ in range(pts.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(pts)
     if neighbor_idx is None:
         neighbor_idx = knn_indices(pts, k, method=method)
     if viewpoint is None:

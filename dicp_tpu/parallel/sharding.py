@@ -294,21 +294,29 @@ def register_map_sharded(
             [source, jnp.zeros((pad, source.shape[1]), dtype=dtype)])
         weight = jnp.concatenate([weight, jnp.zeros((pad,), dtype=dtype)])
 
-    def body(*args):
+    fn = map_sharded_fn(mesh, cfg, axis=axis, target_sharded=False)
+    T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
+    return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
+
+
+def map_sharded_fn(mesh: Mesh, cfg: ICPConfig, axis: str = "map",
+                   target_sharded: bool = False):
+    """The jitted SPMD callable behind :func:`register_map_sharded` /
+    :func:`register_ring_sharded` — exposed so tests can ``.lower()`` it and
+    pin the compiled collective counts (BENCH.md's scaling claims)."""
+    def body(src_s, w_s, tgt, t_init):
         # pin MXU precision: the per-shard distance/Jacobian matmuls run
         # outside register()'s pinned scope
         with jax.default_matmul_precision("float32"):
-            return _map_sharded_body(cfg, *args, axis=axis)
-    fn = jax.jit(
-        jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P()),
-            out_specs=(P(), P(), P(), P()),
-        ),
-        static_argnums=(),
-    )
-    T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
-    return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
+            return _map_sharded_body(cfg, src_s, w_s, tgt, t_init,
+                                     target_sharded=target_sharded, axis=axis)
+
+    tgt_spec = P(axis) if target_sharded else P()
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), tgt_spec, P()),
+        out_specs=(P(), P(), P(), P()),
+    ))
 
 
 def register_ring_sharded(
@@ -361,15 +369,6 @@ def register_ring_sharded(
         sentinel = sentinel.at[:, :3].set(1e15)
         target = jnp.concatenate([target, sentinel])
 
-    def body(src_s, w_s, tgt_s, t_init):
-        with jax.default_matmul_precision("float32"):
-            return _map_sharded_body(cfg, src_s, w_s, tgt_s, t_init,
-                                     target_sharded=True, axis=axis)
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
-    ))
+    fn = map_sharded_fn(mesh, cfg, axis=axis, target_sharded=True)
     T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
     return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)

@@ -214,3 +214,23 @@ def test_ift_matches_finite_differences(source_np, target_np):
                 f"idx {idx} (input {pos}): FD {fd} vs AD {ad}"
             checked += 1
     assert checked >= 12
+
+
+def test_ift_const_iter_scan_forward(source_np, target_np):
+    """const_iter: the IFT forward runs the fixed-count scan driver
+    (serving shape, no convergence branches); T and gradients must match
+    the while-driver IFT path once both are converged."""
+    cfg_w = _cfg(max_iterations=60, tolerance=1e-12)
+    cfg_f = cfg_w.with_(const_iter=True, max_iterations=20, driver="scan",
+                        scan_unroll=4)
+    src = jnp.asarray(source_np[None, :, :3])
+    tgt = jnp.asarray(target_np[None])
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+
+    T_w = register_ift(src, tgt, ti, None, cfg_w).T
+    T_f = register_ift(src, tgt, ti, None, cfg_f).T
+    np.testing.assert_allclose(np.asarray(T_f), np.asarray(T_w), atol=1e-10)
+
+    g_w = jax.grad(lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg_w).T))(src)
+    g_f = jax.grad(lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg_f).T))(src)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_w), atol=1e-8)

@@ -76,3 +76,41 @@ def test_knn_indices_self_first():
     pts = jnp.asarray(rng.normal(size=(50, 3)))
     idx = knn_indices(pts, 5)
     np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(50))
+
+
+def test_weighted_normals_curved_surface():
+    """Kernel-weighted PCA normals (the large-cloud fast path, no top-k):
+    angle accuracy on an analytic curved surface must match kNN-PCA class
+    quality, and the method must agree with dense kNN normals."""
+    import jax.numpy as jnp
+
+    from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    uv = rng.uniform(-3, 3, size=(n, 2))
+    pts = np.column_stack([uv[:, 0], uv[:, 1],
+                           0.3 * np.sin(uv[:, 0]) * np.cos(uv[:, 1])])
+    # analytic unit normal of z = 0.3 sin(x) cos(y)
+    gx = 0.3 * np.cos(uv[:, 0]) * np.cos(uv[:, 1])
+    gy = -0.3 * np.sin(uv[:, 0]) * np.sin(uv[:, 1])
+    true_n = np.column_stack([-gx, -gy, np.ones(n)])
+    true_n /= np.linalg.norm(true_n, axis=1, keepdims=True)
+
+    nw = np.asarray(estimate_normals_weighted(jnp.asarray(pts)))
+    # unit norm
+    np.testing.assert_allclose(np.linalg.norm(nw, axis=1), 1.0, atol=1e-6)
+    dots = np.abs(np.sum(nw * true_n, axis=-1))
+    assert np.median(dots) > np.cos(np.radians(2.0)), np.median(dots)
+    assert dots.mean() > np.cos(np.radians(8.0)), dots.mean()
+
+    # consistency with the dense kNN estimator (same surface, same class)
+    nd = np.asarray(estimate_normals(jnp.asarray(pts), k=16, method="dense"))
+    agree = np.abs(np.sum(nw * nd, axis=-1))
+    assert np.median(agree) > np.cos(np.radians(3.0)), np.median(agree)
+
+    # dispatch: method='weighted' through the public API, batched
+    batch = jnp.asarray(np.stack([pts, pts]))
+    nb = np.asarray(estimate_normals(batch, method="weighted"))
+    assert nb.shape == (2, n, 3)
+    np.testing.assert_allclose(nb[0], nb[1], atol=1e-12)

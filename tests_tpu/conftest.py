@@ -1,0 +1,38 @@
+"""Real-TPU smoke lane (VERDICT r2 #5).
+
+Runs on the actual chip (axon platform, f32) — the main suite pins CPU/f64
+and runs Pallas kernels in interpret mode, so a Mosaic lowering or bf16
+regression is invisible there.  This lane is skipped automatically when no
+TPU is attached.
+
+Invocation (documented in BENCH.md):  python -m pytest tests_tpu/ -q
+(~2-4 min cold for remote compiles, cached after.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+TPU = any("tpu" in str(d).lower() for d in jax.devices())
+
+collect_ignore_glob = []  # nothing ignored; skipping is per-test via fixture
+
+
+@pytest.fixture(autouse=True)
+def _require_tpu():
+    if not TPU:
+        pytest.skip("no TPU attached (real-chip lane)")
+
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests", "data")
+
+
+@pytest.fixture
+def pair_f32():
+    scan = np.load(os.path.join(DATA_DIR, "points_scan.npy")).astype(np.float32)
+    mp = np.load(os.path.join(DATA_DIR, "points_map.npy")).astype(np.float32)
+    return scan, mp

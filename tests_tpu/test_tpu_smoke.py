@@ -1,0 +1,124 @@
+"""On-chip smoke tests: compiled Pallas kernels, f32 accuracy, IFT grads,
+sharded solvers — the contracts CI's CPU/interpret lane cannot see."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_knn_exact_on_chip():
+    """Compiled (interpret=False) Pallas 1-NN vs dense argmin, both on chip.
+    Same diff-form arithmetic -> exact index equality expected."""
+    from dicp_tpu.ops.pallas_knn import nn_distances_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-50, 50, size=(4096, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-50, 50, size=(4096, 3)).astype(np.float32))
+    idx, d2 = nn_distances_pallas(x, y, interpret=False)
+    dense = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+    ref_idx = jnp.argmin(dense, axis=1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    ref_d2 = jnp.min(dense, axis=1)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ref_d2), rtol=1e-5)
+
+
+def test_cluster_knn_certified_on_chip():
+    """Cluster-pruned search on chip: certified and agreeing with the Pallas
+    brute force (up to f32 exact ties)."""
+    from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+    from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.uniform(-30, 30, size=(50_000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-30, 30, size=(20_000, 3)).astype(np.float32))
+    index = jax.jit(lambda t: build_cluster_index(t, 128))(y)
+    idx, d2, cert = cluster_nn(index, x, probes=16)
+    assert float(jnp.mean(cert.astype(jnp.float32))) > 0.999
+    ref = nn_indices_pallas(x, y, interpret=False)
+    agree = float(jnp.mean((idx == ref).astype(jnp.float32)))
+    assert agree > 0.9999, agree  # disagreements can only be exact-tie flips
+
+
+def test_register_f32_accuracy(pair_f32):
+    """f32 register on the reference pair: transform error ~f32 resolution."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    scan, mp = pair_f32
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0, driver="while")
+    res = register_jit(jnp.asarray(scan[None, :, :3]), jnp.asarray(mp[None]),
+                       jnp.eye(4, dtype=jnp.float32)[None], None, cfg=cfg)
+    T_true = se3.tran_inv(se3.vec2tran(
+        jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    assert err < 1e-5, err
+    assert bool(res.converged[0])
+
+
+def test_ift_matches_unrolled_on_chip(pair_f32):
+    """IFT vs unrolled gradient cosine > 0.999 on the chip (f32)."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ift import register_ift
+    from dicp_tpu.registration import register
+
+    scan, mp = pair_f32
+    B = 8
+    src = jnp.asarray(np.stack([scan[:, :3]] * B))
+    tgt = jnp.asarray(np.stack([mp] * B))
+    ti = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    g_i = jax.jit(jax.grad(lambda s: jnp.sum(
+        register_ift(s, tgt, ti, None, cfg).T)))(src)
+    g_u = jax.jit(jax.grad(lambda s: jnp.sum(
+        register(s, tgt, ti, None, cfg).T)))(src)
+    g_i, g_u = np.asarray(g_i), np.asarray(g_u)
+    assert np.all(np.isfinite(g_i)) and np.any(g_i != 0)
+    cos = float(np.sum(g_i * g_u)
+                / (np.linalg.norm(g_i) * np.linalg.norm(g_u)))
+    assert cos > 0.999, cos
+
+
+def test_map_sharded_on_chip(pair_f32):
+    """Map-sharded solve executes on the real device mesh (psum path)."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.parallel import make_mesh, register_map_sharded
+
+    scan, mp = pair_f32
+    mesh = make_mesh((1, len(jax.devices())))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=50,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+    res = register_map_sharded(mesh, jnp.asarray(scan[:, :3]),
+                               jnp.asarray(mp), cfg=cfg)
+    T_true = se3.tran_inv(se3.vec2tran(
+        jnp.array([1., 1., 0, 0, 0, .1], jnp.float32)))
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T)))))
+    assert err < 1e-5, err
+
+
+def test_normals_on_chip():
+    """estimate_normals (cluster path) on a 50k surface, accuracy vs truth."""
+    from dicp_tpu.ops.normals import estimate_normals
+
+    rng = np.random.default_rng(2)
+    n = 50_000
+    uv = rng.uniform(-20, 20, size=(n, 2)).astype(np.float32)
+    pts = np.column_stack([uv[:, 0], uv[:, 1],
+                           0.1 * np.sin(uv[:, 0])]).astype(np.float32)
+    est = jax.jit(lambda p: estimate_normals(p, k=16, method="cluster"))
+    nrm = np.asarray(est(jnp.asarray(pts)))
+    true_n = np.column_stack([-0.1 * np.cos(uv[:, 0]), np.zeros(n), np.ones(n)])
+    true_n /= np.linalg.norm(true_n, axis=1, keepdims=True)
+    dots = np.abs(np.sum(nrm * true_n, axis=-1))
+    assert float(np.median(dots)) > 0.999, float(np.median(dots))
