@@ -137,13 +137,27 @@ def _make_corr_fn(cfg: ICPConfig, source, target):
     if method == "cluster":
         from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
 
+        if target.shape[0] == 1:
+            # single huge cloud (the common large-scale case): no vmap
+            # (keeps the optional Pallas block-search kernel usable)
+            index = build_cluster_index(
+                lax.stop_gradient(target[0, :, :3]), cfg.cluster_group)
+
+            def corr(ps_t):
+                idx, _, _ = cluster_nn(index, lax.stop_gradient(ps_t[0]),
+                                       probes=cfg.cluster_probes)
+                return knn.gather_rows(target, idx[None])
+
+            return corr
+
         index = jax.vmap(
             lambda t: build_cluster_index(t, cfg.cluster_group))(
             lax.stop_gradient(target[..., :3]))
 
         def corr(ps_t):
             idx, _, _ = jax.vmap(
-                lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes))(
+                lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
+                                         use_pallas=False))(
                 index, lax.stop_gradient(ps_t))
             return knn.gather_rows(target, idx)
 

@@ -259,3 +259,31 @@ def test_normals_cluster_matches_dense():
     # same neighborhoods -> same normals (up to eigensolver determinism)
     dots = np.abs(np.sum(np.asarray(n_dense) * np.asarray(n_clust), axis=-1))
     assert dots.min() > 1 - 1e-9, dots.min()
+
+
+def test_pallas_block_search_parity():
+    """The fused Pallas block-search kernel (interpret mode on CPU) must
+    reproduce the XLA candidate-matrix path bit-for-bit (same diff-form
+    arithmetic, same strict-'<' tie rule)."""
+    from dicp_tpu.ops.cluster_knn import (_block_select, _candidate_d2,
+                                          _sorted_blocks)
+    from dicp_tpu.ops.pallas_cluster import block_search_pallas
+
+    rng = np.random.default_rng(21)
+    y = jnp.asarray(rng.uniform(-10, 10, size=(4000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-10, 10, size=(2000, 3)).astype(np.float32))
+    ix = build_cluster_index(y, 128)
+    xb, inv, n = _sorted_blocks(ix, x)
+    bsel, P = _block_select(ix, xb, 8)
+    best_k, row_k = block_search_pallas(ix.points, xb, bsel, interpret=True)
+    d2, pos = _candidate_d2(ix, xb, bsel)
+    j = jnp.argmin(d2, axis=-1)
+    best_x = jnp.take_along_axis(d2, j[..., None], -1)[..., 0]
+    row_x = jnp.take_along_axis(pos, j, -1)
+    np.testing.assert_allclose(np.asarray(best_k), np.asarray(best_x),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(row_k), np.asarray(row_x))
+
+    # and through the public entry (forced kernel, interpret via CPU auto)
+    idx_p, d2_p, cert_p = cluster_nn(ix, x, probes=8, use_pallas=False)
+    assert idx_p.shape == (2000,)
