@@ -8,8 +8,10 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
   losses, trimming, prior weights, per-element convergence freezing,
   end-to-end gradients).
 * :mod:`dicp_tpu.svd_icp` — batched closed-form (Kabsch/SVD) pt2pt ICP.
-* :mod:`dicp_tpu.knn` / :mod:`dicp_tpu.ops.pallas_knn` — brute-force and
-  tiled-Pallas nearest-neighbor search.
+* :mod:`dicp_tpu.knn` / :mod:`dicp_tpu.ops.pallas_knn` /
+  :mod:`dicp_tpu.ops.cluster_knn` — brute-force, tiled-Pallas, and
+  Hilbert cluster-pruned certified-exact nearest-neighbor search.
+* :mod:`dicp_tpu.ops.normals` — PCA / kernel-weighted surface normals.
 * :mod:`dicp_tpu.losses` — Huber / Cauchy / trim IRLS weights.
 * :mod:`dicp_tpu.se3` — Lie-group math (replaces pylgmath + torch.matrix_exp).
 * :mod:`dicp_tpu.parallel` — jax.sharding mesh utilities: batch-sharded
@@ -22,6 +24,9 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
 from dicp_tpu.api import ICP, batch_size_handling
 from dicp_tpu.config import ICPConfig, config_from_yaml
 from dicp_tpu.ift import register_ift, register_ift_jit
+from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_knn,
+                                      cluster_nn, cluster_nn_verified)
+from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
 from dicp_tpu.registration import ICPResult, register, register_jit
 from dicp_tpu.svd_icp import pt2pt_svd_icp
 
@@ -32,7 +37,13 @@ __all__ = [
     "ICPConfig",
     "ICPResult",
     "batch_size_handling",
+    "build_cluster_index",
+    "cluster_knn",
+    "cluster_nn",
+    "cluster_nn_verified",
     "config_from_yaml",
+    "estimate_normals",
+    "estimate_normals_weighted",
     "pt2pt_svd_icp",
     "register",
     "register_ift",
