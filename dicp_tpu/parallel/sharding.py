@@ -147,14 +147,29 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     src_pts = source_shard[:, :3]
     src_nrm = source_shard[:, 3:6] if cfg.icp_type == "symmetric" else None
     tgt_pts = target[:, :3]
-    use_pallas = bool(cfg.use_pallas_nn)
+    if target_sharded:
+        method = "ring"
+    else:
+        method = cfg.resolved_nn_method(source_shard.shape[0], target.shape[0],
+                                        jax.default_backend() == "cpu")
+    if method == "cluster":
+        # index over the replicated target, built ONCE per device outside
+        # the GN loop (identical on every device — pure local compute, no
+        # collectives); each device then queries only its source shard
+        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+
+        cl_index = build_cluster_index(tgt_pts, cfg.cluster_group)
 
     def gn_iteration(C, r):
         cp = src_pts @ C.T
         ps_t = cp + r
-        if target_sharded:
+        if method == "ring":
             nn6 = ring_nn(ps_t, target, axis)
-        elif use_pallas:
+        elif method == "cluster":
+            idx, _, _ = cluster_nn(cl_index, ps_t, probes=cfg.cluster_probes,
+                                   use_pallas=False)
+            nn6 = jnp.take(target, idx, axis=0)
+        elif method == "pallas":
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
             idx = nn_indices_pallas(ps_t, tgt_pts)
             nn6 = jnp.take(target, idx, axis=0)

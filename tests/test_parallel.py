@@ -216,3 +216,24 @@ def test_map_sharded_symmetric(planes_scene):
     with pytest.raises(ValueError, match="6-column"):
         register_map_sharded(mesh, src6[:, :3], jnp.asarray(planes_scene),
                              cfg=cfg)
+
+
+def test_map_sharded_cluster_matches_dense(source_np, target_np):
+    """Map-sharded solve with the cluster correspondence backend (index
+    built per device over the replicated target, queries shard-local) must
+    match the dense-backend map-sharded solve exactly."""
+    mesh = make_mesh((1, 8))
+    base = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=50,
+                     tolerance=1e-10, dim=2, trim_dist=5.0,
+                     loss_name="huber", loss_metric=1.0)
+    res_d = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                                 jnp.asarray(target_np),
+                                 cfg=base.with_(nn_method="dense"))
+    res_c = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                                 jnp.asarray(target_np),
+                                 cfg=base.with_(nn_method="cluster",
+                                                cluster_group=16,
+                                                cluster_probes=8))
+    np.testing.assert_allclose(np.asarray(res_c.T), np.asarray(res_d.T),
+                               atol=1e-12)
+    assert _err(_t_true(), np.asarray(res_c.T)) < 1e-7
