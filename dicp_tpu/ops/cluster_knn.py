@@ -243,11 +243,12 @@ def _query_bounds(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray):
     return jnp.min(lb + mask[:, None, :], axis=-1)              # (nb, Qb)
 
 
-def _candidate_d2(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray):
+def _candidate_d2(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray,
+                  return_cand: bool = False):
     """Exact squared distances to the block's P*g candidates.
 
     Returns (d2 (nb, Qb, P*g), pos (nb, P*g) — sorted-cloud row of each
-    candidate)."""
+    candidate[, cand (nb, P*g, 3) when ``return_cand``])."""
     g = index.points.shape[1]
     nb, P = bsel.shape
     cand = index.points[bsel].astype(xb.dtype)                  # (nb, P, g, 3)
@@ -255,6 +256,8 @@ def _candidate_d2(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray):
     d2 = jnp.sum((xb[:, :, None, :] - cand[:, None, :, :]) ** 2, axis=-1)
     pos = (bsel[:, :, None] * g
            + jnp.arange(g, dtype=jnp.int32)[None, None, :]).reshape(nb, P * g)
+    if return_cand:
+        return d2, pos, cand
     return d2, pos
 
 

@@ -153,8 +153,7 @@ def estimate_normals_weighted(
         index = build_cluster_index(pts, group_size)
         xb, inv, n = _sorted_blocks(index, pts)
         bsel, _ = _block_select(index, xb, probes)
-        d2, _ = _candidate_d2(index, xb, bsel)            # (nb, Qb, C)
-        cand = index.points[bsel].reshape(d2.shape[0], -1, 3).astype(pts.dtype)
+        d2, _, cand = _candidate_d2(index, xb, bsel, return_cand=True)
 
         # adaptive bandwidth from the BLOCK-median 1-NN distance: a
         # per-query 1-NN bandwidth collapses for close pairs (h -> pair

@@ -449,3 +449,25 @@ def test_collect_histories_off(source_np, target_np, driver):
                                np.asarray(full.weights[:, k]), atol=0)
     np.testing.assert_allclose(np.asarray(slim.costs[:, 0]),
                                np.asarray(full.costs[:, k]), atol=0)
+
+
+def test_icp_class_tpu_kwargs(planes_scene):
+    """TPU-native config knobs pass through the drop-in ICP constructor."""
+    from dicp_tpu import se3
+    from dicp_tpu.api import ICP
+
+    xi = jnp.asarray([0.1, -0.05, 0.08, 0.02, -0.01, 0.03])
+    T_st = np.asarray(se3.vec2tran(xi))
+    src = jnp.asarray(planes_scene[:, :3] @ T_st[:3, :3].T + T_st[:3, 3])
+    solver = ICP(icp_type="pt2pl", differentiable=False, max_iterations=50,
+                 tolerance=1e-12, nn_method="cluster", cluster_group=64,
+                 collect_histories=False)
+    assert solver._base_cfg.nn_method == "cluster"
+    res = solver.icp(src, jnp.asarray(planes_scene), jnp.eye(4),
+                     trim_dist=2.0, loss_fn={"name": "huber", "metric": 1.0},
+                     dim=3)
+    T_true = np.asarray(se3.tran_inv(jnp.asarray(T_st)))
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        jnp.asarray(T_true) @ jnp.linalg.inv(res["T"][0]))))
+    assert err < 1e-9, err
+    assert res["weights"].shape[1] == 1  # collect_histories=False placeholder
