@@ -285,8 +285,11 @@ def _candidate_argmin_scan(index: ClusterIndex, xb: jnp.ndarray,
         return (jnp.where(better, lmin, best),
                 jnp.where(better, row, brow)), None
 
-    init = (jnp.full((nb, Qb), jnp.inf, xb.dtype),
-            jnp.zeros((nb, Qb), jnp.int32))
+    # derive the init from xb so it inherits xb's varying-manual-axes type
+    # under shard_map (a freshly created carry would mismatch the body's
+    # device-varying outputs, cf. ring_nn's pcast)
+    zero = (0.0 * xb[..., 0])
+    init = (jnp.inf + zero, zero.astype(jnp.int32))
     (best, brow), _ = lax.scan(step, init, jnp.arange(P))
     return best, brow
 

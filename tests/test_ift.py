@@ -234,3 +234,26 @@ def test_ift_const_iter_scan_forward(source_np, target_np):
     g_w = jax.grad(lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg_w).T))(src)
     g_f = jax.grad(lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg_f).T))(src)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_w), atol=1e-8)
+
+
+def test_ift_cluster_backend(planes_scene):
+    """IFT gradients with nn_method='cluster': the fixed-point backward's
+    correspondence resolution must match the dense backend's gradients."""
+    from dicp_tpu import se3
+
+    xi = jnp.asarray(np.array([0.05, -0.04, 0.03, 0.02, -0.01, 0.03]))
+    T_st = np.asarray(se3.vec2tran(xi))
+    rng = np.random.default_rng(6)
+    scene = planes_scene.copy()
+    scene[:, :3] += rng.normal(scale=0.01, size=(scene.shape[0], 3))
+    src = jnp.asarray(scene[:, :3] @ T_st[:3, :3].T + T_st[:3, 3])[None]
+    tgt = jnp.asarray(scene)[None]
+    ti = jnp.eye(4, dtype=jnp.float64)[None]
+    base = _cfg(icp_type="pt2pl", dim=3, max_iterations=60, trim_dist=None)
+
+    g_d = jax.grad(lambda s: jnp.sum(register_ift(
+        s, tgt, ti, None, base.with_(nn_method="dense")).T))(src)
+    g_c = jax.grad(lambda s: jnp.sum(register_ift(
+        s, tgt, ti, None, base.with_(nn_method="cluster",
+                                     cluster_group=64)).T))(src)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d), atol=1e-10)
