@@ -287,3 +287,41 @@ def test_pallas_block_search_parity():
     # and through the public entry (forced kernel, interpret via CPU auto)
     idx_p, d2_p, cert_p = cluster_nn(ix, x, probes=8, use_pallas=False)
     assert idx_p.shape == (2000,)
+
+
+def test_degenerate_clouds():
+    """Index build + query on degenerate geometry: all-identical points
+    (zero extent), collinear points, and duplicate-heavy clouds must not
+    NaN/crash and must return valid certified answers."""
+    # all points identical: extent guard -> all keys equal -> radius 0
+    y = jnp.asarray(np.ones((300, 3)) * 5.0)
+    x = jnp.asarray(np.array([[5.0, 5.0, 5.0], [6.0, 5.0, 5.0]]))
+    index = build_cluster_index(y, group_size=64)
+    idx, d2, cert = cluster_nn(index, x, probes=8)
+    assert bool(jnp.all(cert))
+    np.testing.assert_allclose(np.asarray(d2), [0.0, 1.0], atol=1e-12)
+    assert np.all(np.asarray(idx) < 300)
+
+    # collinear cloud (1-D extent; two axes degenerate)
+    rng = np.random.default_rng(8)
+    t = rng.uniform(-10, 10, 2000)
+    y = jnp.asarray(np.column_stack([t, np.zeros_like(t), np.zeros_like(t)]))
+    x = jnp.asarray(np.column_stack([t[:50] + 0.01, np.ones(50), np.zeros(50)]))
+    idx, d2, cert = cluster_nn(build_cluster_index(y, 128), x, probes=8)
+    ref_idx, ref_d2 = _dense_nn(np.asarray(x), np.asarray(y))
+    cert = np.asarray(cert)
+    np.testing.assert_allclose(np.asarray(d2)[cert], ref_d2[cert], rtol=1e-9)
+
+    # duplicate-heavy cloud (ties everywhere): d2 must still be the true min
+    base = rng.uniform(-1, 1, size=(100, 3))
+    y = jnp.asarray(np.repeat(base, 20, axis=0))            # 2000 pts, 20x dup
+    x = jnp.asarray(base + 1e-3)
+    index = build_cluster_index(y, 128)
+    idx, d2, cert = cluster_nn(index, x, probes=8)
+    ref_idx, ref_d2 = _dense_nn(np.asarray(x), np.asarray(y))
+    cert = np.asarray(cert)
+    np.testing.assert_allclose(np.asarray(d2)[cert], ref_d2[cert], rtol=1e-9)
+    # exhaustive probes: everything certified and exact despite the ties
+    idx, d2, cert = cluster_nn(index, x, probes=16)       # = G
+    assert bool(jnp.all(cert))
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-9)
