@@ -7,8 +7,12 @@ covariance of its k nearest neighbors.
 
 TPU-first choices:
 
-* neighborhoods via the same brute-force MXU distance matrix as the solver,
-  top-k with ``jax.lax.top_k`` (a VPU sort, no host sync);
+* three neighborhood backends: dense distance matrix + top_k (small),
+  cluster-pruned exact k-NN (``ops/cluster_knn``), and — the scale path —
+  :func:`estimate_normals_weighted`, which needs NO k-NN at all
+  (``lax.top_k`` is sort-lowered and HBM-bound on TPU, BENCH.md): an
+  Epanechnikov-weighted covariance over cluster candidates whose moment
+  sum is one fat-K MXU matmul;
 * the 3x3 symmetric eigenproblem solved in CLOSED FORM (trigonometric
   eigenvalues + eigenspace projector), not ``jnp.linalg.eigh`` — XLA lowers
   tiny eigh to a sequential Jacobi loop costing ~29 ms per dispatch on TPU;
@@ -138,8 +142,9 @@ def estimate_normals_weighted(
     covariance is an Epanechnikov-weighted moment sum over its cluster-index
     candidates: w = max(0, 1 - d2/h2).  The moment accumulation is ONE
     matmul with contraction over the candidates (fat K -> MXU-efficient),
-    and the per-point bandwidth h = bandwidth_scale * (1-NN distance) adapts
-    to local density.  Estimator quality matches kNN-PCA on smooth surfaces
+    and the bandwidth h = bandwidth_scale * max(own 1-NN distance,
+    block-median 1-NN distance) adapts to local density without collapsing
+    on close pairs.  Estimator quality matches kNN-PCA on smooth surfaces
     (tests/test_normals.py asserts angle accuracy on analytic scenes).
     """
     from dicp_tpu.ops.cluster_knn import (_SENTINEL, _block_select,
