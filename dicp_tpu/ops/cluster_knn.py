@@ -183,13 +183,24 @@ def build_cluster_index(points: jnp.ndarray, group_size: int = 128) -> ClusterIn
                         order=order, frame=frame)
 
 
-def _sorted_blocks(index: ClusterIndex, x: jnp.ndarray):
+def query_order(index: ClusterIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """Curve-sort permutation for a query cloud (int32 (n,)).
+
+    The order is only a LOCALITY HINT (it controls how queries are grouped
+    into selection blocks, never which answers are valid), so it can be
+    computed once per registration and reused across Gauss-Newton
+    iterations: rigid motion preserves neighborhood structure exactly, so
+    the T_init-time order keeps blocks equally compact at every iterate."""
+    return jnp.argsort(hilbert_keys(x, frame=index.frame)).astype(jnp.int32)
+
+
+def _sorted_blocks(index: ClusterIndex, x: jnp.ndarray, order=None):
     """Sort queries along the index's curve and cut into _QBLOCK blocks.
 
-    Returns (xb (nb, Qb, 3), inv (n,) unsort permutation, n)."""
+    Returns (xb (nb, Qb, 3), inv (n,) unsort permutation, n).  ``order``
+    (optional) is a precomputed :func:`query_order` permutation."""
     n = x.shape[0]
-    kq = hilbert_keys(x, frame=index.frame)
-    qord = jnp.argsort(kq)
+    qord = query_order(index, x) if order is None else order
     xs = jnp.take(x, qord, axis=0)
     Qb = min(_QBLOCK, n)
     nb = -(-n // Qb)
@@ -302,6 +313,7 @@ def _unsort(arr, inv, n):
 @functools.partial(jax.jit, static_argnames=("probes", "use_pallas"))
 def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
                use_pallas: Optional[bool] = None,
+               order: Optional[jnp.ndarray] = None,
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified 1-NN: (n, 3) queries -> (idx (n,), d2 (n,), certified (n,)).
 
@@ -311,8 +323,10 @@ def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
     instead of the XLA candidate matrix.  Default OFF — measured 15.6 ms vs
     the XLA path's 12.1 ms at 100k: the nb*P tiny (3, g) slab DMAs are
     latency-bound (exact-match results otherwise; see BENCH.md).
+    ``order``: precomputed :func:`query_order` permutation (a locality hint
+    the solver reuses across GN iterations — rigid motion preserves it).
     """
-    xb, inv, n = _sorted_blocks(index, x[..., :3])
+    xb, inv, n = _sorted_blocks(index, x[..., :3], order)
     bsel, P = _block_select(index, xb, probes)
     if use_pallas is None:
         use_pallas = False

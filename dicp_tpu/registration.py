@@ -124,28 +124,34 @@ def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
     return source, target, weight, C, r
 
 
-def _make_corr_fn(cfg: ICPConfig, source, target):
+def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
     """Correspondence closure built ONCE per solve (outside the GN loop).
 
     The target is constant across iterations, so the cluster backend's
     Hilbert index (ops/cluster_knn) is built here and amortized over every
     iteration — the structural win a per-step knn call cannot express.
-    Gradients keep hard-NN semantics: indices are ints (implicitly detached),
-    values flow through the gather into ``target``."""
+    The query curve-sort order is ALSO computed once (at the T_init pose):
+    it is only a locality hint, and rigid motion preserves neighborhood
+    structure exactly, so the initial order keeps blocks compact at every
+    iterate.  Gradients keep hard-NN semantics: indices are ints (implicitly
+    detached), values flow through the gather into ``target``."""
     n, m = source.shape[-2], target.shape[-2]
     method = cfg.resolved_nn_method(n, m, jax.default_backend() == "cpu")
     if method == "cluster":
-        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+        from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
+                                              query_order)
 
         if target.shape[0] == 1:
             # single huge cloud (the common large-scale case): no vmap
             # (keeps the optional Pallas block-search kernel usable)
             index = build_cluster_index(
                 lax.stop_gradient(target[0, :, :3]), cfg.cluster_group)
+            ps0 = jnp.einsum("ij,pj->pi", C0[0], source[0, :, :3])                 + r0[0][None, :]
+            qord = query_order(index, lax.stop_gradient(ps0))
 
             def corr(ps_t):
                 idx, _, _ = cluster_nn(index, lax.stop_gradient(ps_t[0]),
-                                       probes=cfg.cluster_probes)
+                                       probes=cfg.cluster_probes, order=qord)
                 return knn.gather_rows(target, idx[None])
 
             return corr
@@ -540,7 +546,7 @@ def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
 
 def _register_impl(source, target, T_init, weight, cfg, key):
     source, target, weight, C, r = _preprocess(cfg, source, target, T_init, weight)
-    corr_fn = _make_corr_fn(cfg, source, target)
+    corr_fn = _make_corr_fn(cfg, source, target, C, r)
 
     driver = cfg.resolved_driver()
     if driver == "scan":
