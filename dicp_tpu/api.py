@@ -265,6 +265,14 @@ class ICP:
         self.use_gumbel = self._base_cfg.use_gumbel
         self.gumbel_eps = self._base_cfg.gumbel_eps
         self.gumbel_tau = self._base_cfg.gumbel_tau
+        # Attribute parity: the reference constructor exposes a ``nn`` search
+        # object built from the functionality block (dICP/ICP.py:40-44);
+        # user code pokes ``icp.nn.tau`` or calls ``icp.nn.find_nn`` directly.
+        from dicp_tpu.nn import nn as _nn_cls
+
+        self.nn = _nn_cls(differentiable=differentiable,
+                          use_gumbel=self.use_gumbel,
+                          eps=self.gumbel_eps, tau=self.gumbel_tau)
 
     def _call_cfg(self, trim_dist, loss_fn, dim) -> ICPConfig:
         return self._base_cfg.with_(

@@ -79,6 +79,14 @@ class ICPConfig:
     # 99.98% agreement with brute force, 99.3% certified-exact (BENCH.md).
     cluster_group: int = 128
     cluster_probes: int = 32
+    # In-solver exactness escalation: brute-force up to this many
+    # UNCERTIFIED cluster queries per iteration against the full target, so
+    # default-config correspondences match brute force exactly (the
+    # reference is exact, dICP/nn.py:32-38).  None = auto budget
+    # (n/64, clamped to [256, 4096] — measured uncertified fraction is
+    # 0.02-0.7% at 100k, far below n/64); 0 disables (fastest, results may
+    # be inexact for ~0.02% of queries).
+    cluster_fixup: Optional[int] = None
     # Process batches bigger than this in sequential lax.map chunks of this
     # size.  Solver throughput on one chip peaks near B~1024 and REGRESSES
     # ~40% by B=4096 (XLA fusion strategies degrade past the VMEM-friendly
@@ -135,6 +143,12 @@ class ICPConfig:
         if m >= 16384 or on_cpu:
             return "cluster"
         return "pallas"
+
+    def resolved_cluster_fixup(self, n: int) -> int:
+        """Concrete uncertified-query brute-force budget for n queries."""
+        if self.cluster_fixup is not None:
+            return min(int(self.cluster_fixup), n)
+        return min(min(4096, max(256, n // 64)), n)
 
     def with_(self, **kw) -> "ICPConfig":
         return dataclasses.replace(self, **kw)

@@ -126,7 +126,8 @@ def _fp_bwd(cfg, saved, res_bar):
         index = jax.vmap(lambda t: build_cluster_index(t, cfg.cluster_group))(
             lax.stop_gradient(tgt[..., :3]))
         idx, _, _ = jax.vmap(
-            lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes))(
+            lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
+                                     fixup=cfg.resolved_cluster_fixup(n_)))(
             index, lax.stop_gradient(ps_t))
     elif method == "pallas":
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
@@ -208,7 +209,7 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
     nn6 = knn.gather_rows(target, idx)
     nn_err = ps_t - nn6[..., :3]
 
-    if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+    if cfg.trim_dist is not None:  # negative k follows dICP/loss.py:54 (~0 weights)
         trim_w = losses.trim_weight(nn_err, cfg.trim_dist, True, cfg.tanh_steepness)
     else:
         trim_w = jnp.ones((N, n), dtype=dtype)

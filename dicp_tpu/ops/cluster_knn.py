@@ -310,10 +310,72 @@ def _unsort(arr, inv, n):
     return jnp.take(flat, inv, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("probes", "use_pallas"))
+def _dense_argmin_stream(xs: jnp.ndarray, pts: jnp.ndarray, chunk: int = 4096):
+    """Exact brute-force argmin of ``xs`` (U, 3) against ``pts`` (M, 3).
+
+    Streams target chunks through a running (d2, row) argmin — the VPU
+    diff-form floor, never materializing (U, M).  Ties resolve to the
+    LOWEST row (global brute-force rule).  Returns (row (U,), d2 (U,))."""
+    M = pts.shape[0]
+    nch = -(-M // chunk)
+    pad = nch * chunk - M
+    if pad:
+        pts = jnp.concatenate(
+            [pts, jnp.full((pad, 3), _SENTINEL, pts.dtype)], axis=0)
+
+    def step(carry, i):
+        best, brow = carry
+        yc = lax.dynamic_slice_in_dim(pts, i * chunk, chunk, axis=0)
+        d2 = jnp.sum((xs[:, None, :] - yc[None, :, :].astype(xs.dtype)) ** 2,
+                     axis=-1)                                  # (U, chunk)
+        lmin = jnp.min(d2, axis=-1)
+        larg = (jnp.argmin(d2, axis=-1).astype(jnp.int32)
+                + i.astype(jnp.int32) * jnp.int32(chunk))
+        better = lmin < best                                   # strict: keeps
+        return (jnp.where(better, lmin, best),                 # lowest row
+                jnp.where(better, larg, brow)), None
+
+    init = (jnp.full(xs.shape[:1], jnp.inf, xs.dtype),
+            jnp.zeros(xs.shape[:1], jnp.int32))
+    (best, brow), _ = lax.scan(step, init, jnp.arange(nch))
+    return brow, best
+
+
+def _fixup_uncertified(index: ClusterIndex, x: jnp.ndarray, idx, d2, cert,
+                       budget: int):
+    """Brute-force up to ``budget`` uncertified queries against the full
+    cloud, making them provably exact (the in-solver escalation the offline
+    ``cluster_nn_verified`` loop cannot express under jit: fixed shapes).
+
+    O(n) compaction (no sort): uncertified queries are scattered into a
+    fixed-size slot vector by their running count.  If MORE than ``budget``
+    queries are uncertified, the excess keeps ``certified=False`` — the
+    certificate still never lies.  Measured need: 0.02-0.7%% of 100k-query
+    worst-case workloads (BENCH.md), far under the default budget."""
+    n = x.shape[0]
+    U = min(int(budget), n)
+    unc = jnp.logical_not(cert)
+    slot = jnp.cumsum(unc.astype(jnp.int32)) - 1               # (n,)
+    # certified queries (and overflow beyond U) are dropped by the scatter
+    sel = jnp.zeros((U,), jnp.int32).at[
+        jnp.where(unc, slot, U)].set(jnp.arange(n, dtype=jnp.int32),
+                                     mode="drop")
+    xs = jnp.take(x, sel, axis=0)
+    row, bf_d2 = _dense_argmin_stream(xs, index.points.reshape(-1, 3))
+    bf_idx = index.order[row]
+    take = jnp.take(unc, sel)           # unwritten slots point at query 0:
+    new_idx = idx.at[sel].set(jnp.where(take, bf_idx, jnp.take(idx, sel)))
+    new_d2 = d2.at[sel].set(jnp.where(take, bf_d2.astype(d2.dtype),
+                                      jnp.take(d2, sel)))
+    new_cert = cert.at[sel].set(True)   # brute force is exact by definition
+    return new_idx, new_d2, new_cert
+
+
+@functools.partial(jax.jit, static_argnames=("probes", "use_pallas", "fixup"))
 def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
                use_pallas: Optional[bool] = None,
                order: Optional[jnp.ndarray] = None,
+               fixup: int = 0,
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified 1-NN: (n, 3) queries -> (idx (n,), d2 (n,), certified (n,)).
 
@@ -325,6 +387,10 @@ def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
     latency-bound (exact-match results otherwise; see BENCH.md).
     ``order``: precomputed :func:`query_order` permutation (a locality hint
     the solver reuses across GN iterations — rigid motion preserves it).
+    ``fixup`` > 0: brute-force up to that many uncertified queries against
+    the full cloud (in-solver exactness escalation; see
+    :func:`_fixup_uncertified`) — with a budget covering the uncertified
+    count, every returned neighbor is provably exact.
     """
     xb, inv, n = _sorted_blocks(index, x[..., :3], order)
     bsel, P = _block_select(index, xb, probes)
@@ -342,8 +408,12 @@ def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
         best, rows = _candidate_argmin_scan(index, xb, bsel)
     idx = index.order[rows]
     bound = _query_bounds(index, xb, bsel)
-    return (_unsort(idx, inv, n), _unsort(best, inv, n),
-            _unsort(best <= bound, inv, n))
+    idx, best, cert = (_unsort(idx, inv, n), _unsort(best, inv, n),
+                       _unsort(best <= bound, inv, n))
+    if fixup > 0:
+        idx, best, cert = _fixup_uncertified(index, x[..., :3], idx, best,
+                                             cert, fixup)
+    return idx, best, cert
 
 
 def _topk_small(d2: jnp.ndarray, k: int):

@@ -89,7 +89,7 @@ def block_search_pallas(points: jnp.ndarray, xb: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, Qb, 3), lambda i, bsel_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         # outputs are (nb, 1, Qb): Mosaic requires the last two block dims
         # to divide (8, 128) or equal the array dims — (1, Qb) blocks of a

@@ -167,7 +167,9 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
             nn6 = ring_nn(ps_t, target, axis)
         elif method == "cluster":
             idx, _, _ = cluster_nn(cl_index, ps_t, probes=cfg.cluster_probes,
-                                   use_pallas=False)
+                                   use_pallas=False,
+                                   fixup=cfg.resolved_cluster_fixup(
+                                       source_shard.shape[0]))
             nn6 = jnp.take(target, idx, axis=0)
         elif method == "pallas":
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
@@ -179,7 +181,7 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         nn_err = ps_t - nn6[:, :3]
 
         w = weight_shard
-        if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+        if cfg.trim_dist is not None:  # negative k: dICP/loss.py:54,:58 semantics
             w = w * losses.trim_weight(nn_err, cfg.trim_dist,
                                        cfg.differentiable, cfg.tanh_steepness)
         if cfg.icp_type in ("pt2pl", "symmetric"):

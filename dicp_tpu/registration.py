@@ -151,7 +151,8 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
 
             def corr(ps_t):
                 idx, _, _ = cluster_nn(index, lax.stop_gradient(ps_t[0]),
-                                       probes=cfg.cluster_probes, order=qord)
+                                       probes=cfg.cluster_probes, order=qord,
+                                       fixup=cfg.resolved_cluster_fixup(n))
                 return knn.gather_rows(target, idx[None])
 
             return corr
@@ -163,7 +164,8 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
         def corr(ps_t):
             idx, _, _ = jax.vmap(
                 lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
-                                         use_pallas=False))(
+                                         use_pallas=False,
+                                         fixup=cfg.resolved_cluster_fixup(n)))(
                 index, lax.stop_gradient(ps_t))
             return knn.gather_rows(target, idx)
 
@@ -195,7 +197,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
 
     # Correspondences carry the full target rows (normals ride along).
     if cfg.differentiable and cfg.use_gumbel:
-        nn6 = knn.gumbel_nn(ps_t, target, key, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps)
+        # key is (N,)-batched (one stream per batch element, see register());
+        # vmap keeps each element's draw independent of batch composition.
+        nn6 = jax.vmap(lambda p, t, k: knn.gumbel_nn(
+            p, t, k, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps))(ps_t, target, key)
     else:
         nn6 = corr_fn(ps_t)
 
@@ -218,7 +223,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
 
     # Robust weights: trim gate always on the 3-D point error (dICP/ICP.py:155),
     # loss weight on the residual (dICP/ICP.py:160); fused elementwise by XLA.
-    if cfg.trim_dist is not None and cfg.trim_dist >= 0.0:
+    # Negative trim_dist follows the reference (dICP/loss.py:54,:58): the hard
+    # gate ||e|| < k zeroes EVERY weight, the soft tanh gate makes them ~0 —
+    # either way delta = 0 and the solve returns T_init (all-zero-weight path).
+    if cfg.trim_dist is not None:
         trim_w = losses.trim_weight(nn_err, cfg.trim_dist, cfg.differentiable, cfg.tanh_steepness)
     else:
         trim_w = jnp.ones((N, n), dtype=dtype)
@@ -286,6 +294,14 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
 
     cost = jnp.sum(res_w * res_w, axis=-1)               # e_w^T e_w (dICP/ICP.py:229)
     return C_new, r_new, delta6, w, cost
+
+
+def _fold_iter(keys, it):
+    """Fold the iteration counter into the per-batch-element key array
+    ((N,)-batched; see :func:`register`).  None passes through."""
+    if keys is None:
+        return None
+    return jax.vmap(lambda kk: jax.random.fold_in(kk, it))(keys)
 
 
 class _Carry(NamedTuple):
@@ -372,7 +388,7 @@ def _run_scan(cfg: ICPConfig, source, target, weight, C, r, key, corr_fn):
 
     def run(carry_it):
         carry, it = carry_it
-        k = jax.random.fold_in(key, it) if key is not None else None
+        k = _fold_iter(key, it)
         return _apply_step(cfg, source, target, carry, it, k, corr_fn)
 
     step = run
@@ -426,7 +442,7 @@ def _run_while(cfg: ICPConfig, source, target, weight, C, r, key, corr_fn):
 
     def body(state):
         carry, it, hist = state
-        k = jax.random.fold_in(key, it) if key is not None else None
+        k = _fold_iter(key, it)
         carry, (delta, w_save, cost) = _apply_step(cfg, source, target, carry, it, k, corr_fn)
         if cfg.collect_histories:
             hd, hw, hc = hist
@@ -501,6 +517,13 @@ def register(
         raise ValueError("Gumbel NN requires an explicit PRNG key")
     if not (cfg.differentiable and cfg.use_gumbel):
         key = None
+    if key is not None:
+        # One independent stream per batch element, derived from the GLOBAL
+        # batch index: element i's noise is identical whether the batch is
+        # solved whole or in ``batch_chunk`` pieces (chunked == unchunked),
+        # and is invariant to the other elements in the batch.
+        key = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(source.shape[0]))
 
     # TPU MXU default precision is bf16 for f32 operands, which biases the
     # distance matrices and the accumulated rotation chain by ~1e-2 — pin
@@ -516,10 +539,12 @@ def register(
 def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
     """Apply ``call`` over sequential batch chunks with ``lax.map``.
 
-    Bitwise-identical to one big call (batch elements are independent); keeps
-    every chunk at the solver's measured throughput knee (see
-    ``ICPConfig.batch_chunk``).  The batch is edge-padded to a chunk multiple
-    and results sliced back."""
+    Bitwise-identical to one big call: batch elements are independent, and
+    (when a PRNG key is used) Gumbel noise streams are derived per GLOBAL
+    batch element in :func:`register` before chunking, so element i draws
+    the same noise either way.  Keeps every chunk at the solver's measured
+    throughput knee (see ``ICPConfig.batch_chunk``).  The batch is
+    edge-padded to a chunk multiple and results sliced back."""
     N = source.shape[0]
     nc = -(-N // chunk)
     pad = nc * chunk - N
@@ -531,13 +556,15 @@ def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
             a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
         return a.reshape((nc, chunk) + a.shape[1:])
 
-    operands = (prep(source), prep(target), prep(T_init), prep(weight),
-                jnp.arange(nc))
+    operands = (prep(source), prep(target), prep(T_init), prep(weight))
+    if key is not None:
+        operands = operands + (prep(key),)
+    else:
+        operands = operands + (jnp.zeros((nc,), jnp.int32),)  # placeholder
 
     def body(args):
-        s, t, ti, w, i = args
-        k = jax.random.fold_in(key, i) if key is not None else None
-        return call(s, t, ti, w, k)
+        s, t, ti, w, k = args
+        return call(s, t, ti, w, k if key is not None else None)
 
     out = lax.map(body, operands)
     return jax.tree_util.tree_map(

@@ -184,8 +184,10 @@ def _svd_icp_impl(source, target, T_init, weight, max_iterations, tolerance,
         nn_t = knn.hard_nn(ps_t, target)
         w = weight
         if trim_dist is not None and trim_dist >= 0.0:
-            # negative trim is ignored, matching the GN path (registration.py)
-            # and the reference's gate (dICP/ICP.py:153)
+            # negative trim is ignored HERE only: the reference's SVD variant
+            # ignores trim entirely (dICP/ICP.py:534) and an all-zero weight
+            # vector would NaN the Kabsch centroids.  (The GN path follows
+            # the reference's negative-k gate semantics, dICP/loss.py:58.)
             resid = jnp.linalg.norm(ps_t - nn_t, axis=-1)
             w = w * (resid < trim_dist).astype(dtype)
         dC, dr = _kabsch(ps_t, nn_t, w)

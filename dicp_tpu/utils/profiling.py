@@ -35,11 +35,28 @@ def _block(out):
         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
 
 
-def benchmark(fn: Callable, n: int = 10, warmup: int = 1) -> dict:
+def benchmark(fn: Callable, n: int = 10, warmup: int = 1,
+              force_wallclock: bool = False) -> dict:
     """Steady-state timing of ``fn()`` (compile excluded).
 
     Returns {mean_s, min_s, compile_s, n}.
+
+    Refuses to run on non-CPU backends unless ``force_wallclock=True``:
+    remote-attached TPU runtimes acknowledge dispatches without awaiting
+    device completion and deduplicate identical dispatches, so
+    ``block_until_ready`` wall-clock measures the *client*, not the chip
+    (silently wrong in both directions — see BENCH.md).  Use
+    :func:`dicp_tpu.utils.timing.chained_rate` for device-bound numbers.
     """
+    from dicp_tpu.utils.timing import device_timing_is_trustworthy
+
+    if not device_timing_is_trustworthy() and not force_wallclock:
+        raise RuntimeError(
+            "benchmark() times block_until_ready wall-clock, which does not "
+            "reflect device execution on this backend (remote/async "
+            "dispatch).  Use dicp_tpu.utils.timing.chained_rate (chained "
+            "lax.scan + host fetch + overhead differencing), or pass "
+            "force_wallclock=True to measure the client anyway.")
     t0 = time.perf_counter()
     for _ in range(warmup):
         _block(fn())

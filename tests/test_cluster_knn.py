@@ -325,3 +325,40 @@ def test_degenerate_clouds():
     idx, d2, cert = cluster_nn(index, x, probes=16)       # = G
     assert bool(jnp.all(cert))
     np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-9)
+
+
+def test_fixup_uncertified_exactness():
+    """In-solver exactness escalation (``fixup``): with a budget covering
+    the uncertified count every answer matches dense brute force exactly;
+    with a smaller budget, certified entries still never lie (ADVICE r2:
+    default-config correspondences must not silently deviate from the
+    reference's exact NN, dICP/nn.py:32-38)."""
+    rng = np.random.default_rng(3)
+    m, n = 5000, 3000
+    y = jnp.asarray(rng.uniform(-10, 10, (m, 3)))
+    x = jnp.asarray(rng.uniform(-10, 10, (n, 3)))
+    ref_idx, ref_d2 = _dense_nn(x, y)
+    index = build_cluster_index(y, 64)
+
+    # pathologically low probes: ~half the answers wrong without fixup
+    idx0, _, c0 = cluster_nn(index, x, probes=2)
+    n_unc = int((~np.asarray(c0)).sum())
+    assert n_unc > 100  # the setup really does stress the certificate
+
+    idx1, d1, c1 = cluster_nn(index, x, probes=2, fixup=n)
+    assert bool(jnp.all(c1))
+    d_true = jnp.sum((x - y[jnp.asarray(ref_idx)]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d_true), rtol=1e-12)
+    # idx may differ from ref argmin only at exact-tie distances
+    assert int((np.asarray(idx1) != ref_idx).sum()) == 0
+
+    # partial budget: excess stays uncertified, certified entries exact
+    idx2, d2, c2 = cluster_nn(index, x, probes=2, fixup=max(1, n_unc // 3))
+    cert2 = np.asarray(c2)
+    assert cert2.sum() < n  # over-budget queries correctly left unflagged
+    np.testing.assert_array_equal(np.asarray(idx2)[cert2], ref_idx[cert2])
+
+    # no uncertified queries: fixup is a no-op
+    idx3, _, c3 = cluster_nn(index, x, probes=64, fixup=256)
+    if bool(jnp.all(c3)):
+        np.testing.assert_array_equal(np.asarray(idx3), ref_idx)

@@ -248,3 +248,78 @@ def test_batch_length_mismatch_raises(source_np, target_np):
     with pytest.raises(ValueError, match="rows"):
         batch_size_handling(src_dense, jnp.asarray(np.stack([target_np] * 3)),
                             weight=jnp.ones((2, 65)))
+
+
+def test_gumbel_chunked_matches_unchunked(source_np, target_np):
+    """Per-GLOBAL-batch-element PRNG streams (ADVICE r2): Gumbel-NN solves
+    must be bitwise-identical whether the batch runs whole or in
+    ``batch_chunk`` pieces, and element i's result must not depend on the
+    other elements in the batch."""
+    import jax
+
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register
+
+    src = jnp.asarray(np.stack([source_np[:, :3]] * 4))
+    tgt = jnp.asarray(np.stack([target_np] * 4))
+    ti = jnp.broadcast_to(jnp.eye(4, dtype=src.dtype), (4, 4, 4))
+    key = jax.random.key(7)
+    cfg = ICPConfig(icp_type="pt2pl", max_iterations=5, tolerance=1e-10,
+                    differentiable=True, use_gumbel=True, dim=2,
+                    const_iter=True)
+    full = register(src, tgt, ti, cfg=cfg, key=key)
+    chunked = register(src, tgt, ti, cfg=cfg.with_(batch_chunk=2), key=key)
+    # identical noise STREAMS; XLA may still fuse reductions differently
+    # between the chunked and whole-batch programs (f64-epsilon differences)
+    np.testing.assert_allclose(np.asarray(full.T), np.asarray(chunked.T),
+                               atol=1e-12)
+
+    # batch-composition invariance: element 2 of a 4-batch == element 0 of
+    # the 2-batch starting at global index 2 is NOT required (keys are per
+    # GLOBAL index), but a batch of the first 2 elements must reproduce the
+    # first 2 rows of the 4-batch exactly
+    first2 = register(src[:2], tgt[:2], ti[:2], cfg=cfg, key=key)
+    np.testing.assert_allclose(np.asarray(full.T[:2]), np.asarray(first2.T),
+                               atol=1e-12)
+
+
+def test_negative_trim_dist_matches_reference(source_np, target_np):
+    """Reference semantics for trim_dist < 0 (dICP/loss.py:58): the hard
+    gate ||e|| < k zeroes every weight, so the solve is a no-op and T_init
+    comes back unchanged (previously treated as no-trim — VERDICT r2 #9)."""
+    from dicp_tpu.api import ICP
+
+    solver = ICP(icp_type="pt2pl", max_iterations=20, tolerance=1e-10,
+                 differentiable=False)
+    ti = jnp.eye(4, dtype=jnp.float64)
+    out = solver.icp(source_np[:, :3], target_np, ti, trim_dist=-1.0, dim=2)
+    np.testing.assert_allclose(np.asarray(out["T"][0]), np.asarray(ti),
+                               atol=1e-12)
+
+    # differentiable mode: the reference's soft gate formula applies
+    # unchanged at negative k (0.5*tanh(s*(k-|e|)-3)+0.5, dICP/loss.py:54) —
+    # tiny positive weights, and Gauss-Newton is scale-invariant, so the
+    # solve PROCEEDS (unlike the hard gate).  Pin the formula itself.
+    from dicp_tpu import losses
+
+    e = jnp.asarray(np.array([[[0.5, 0.0, 0.0], [2.0, 0.0, 0.0]]]))
+    w = losses.trim_weight(e, -1.0, differentiable=True, tanh_steepness=5.0)
+    expect = 0.5 * np.tanh(5.0 * (-1.0 - np.array([0.5, 2.0])) - 3.0) + 0.5
+    np.testing.assert_allclose(np.asarray(w[0]), expect, rtol=1e-6,
+                               atol=1e-15)  # saturated tanh: ~eps-level floor
+
+
+def test_icp_nn_attribute_parity():
+    """The reference constructor exposes ``self.nn`` (dICP/ICP.py:44);
+    user code pokes ``icp.nn.tau`` and calls ``icp.nn.find_nn``."""
+    from dicp_tpu.api import ICP
+
+    solver = ICP(icp_type="pt2pl")
+    assert hasattr(solver, "nn")
+    assert solver.nn.tau == solver.gumbel_tau
+    y = jnp.asarray(np.array([[0.0, 0, 0, 0, 0, 1.0], [5.0, 0, 0, 0, 0, 1.0]]))
+    x = jnp.asarray(np.array([[0.1, 0.0, 0.0]]))
+    solver.nn.use_gumbel = False
+    out = solver.nn.find_nn(x, y)
+    np.testing.assert_allclose(np.asarray(out[0, 0, :3]), [0.0, 0, 0],
+                               atol=1e-12)

@@ -16,7 +16,11 @@ import pytest
 
 import jax
 
-TPU = any("tpu" in str(d).lower() for d in jax.devices())
+# Gate on the backend, not device-name substrings: experimental platforms
+# (e.g. 'axon') may expose device strings without "tpu" in them, which would
+# silently skip this whole lane on the very chip it exists to cover
+# (ADVICE r2).  Any non-CPU backend counts as the real-chip lane.
+TPU = jax.default_backend() != "cpu"
 
 collect_ignore_glob = []  # nothing ignored; skipping is per-test via fixture
 
