@@ -122,13 +122,17 @@ def _fp_bwd(cfg, saved, res_bar):
     method = cfg.resolved_nn_method(n_, m_, jax.default_backend() == "cpu")
     if method == "cluster":
         from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+        from dicp_tpu.registration import _certified_gate
 
         index = jax.vmap(lambda t: build_cluster_index(t, cfg.cluster_group))(
             lax.stop_gradient(tgt[..., :3]))
-        idx, _, _ = jax.vmap(
+        idx, _, cert = jax.vmap(
             lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
                                      fixup=cfg.resolved_cluster_fixup(n_)))(
             index, lax.stop_gradient(ps_t))
+        # replicate the forward's certificate gate in the stationarity: the
+        # fixed point was computed with uncertified matches excluded
+        w_prior = w_prior * lax.stop_gradient(_certified_gate(cert, dtype))
     elif method == "pallas":
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
 

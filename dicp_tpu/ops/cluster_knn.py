@@ -194,20 +194,24 @@ def query_order(index: ClusterIndex, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(hilbert_keys(x, frame=index.frame)).astype(jnp.int32)
 
 
-def _sorted_blocks(index: ClusterIndex, x: jnp.ndarray, order=None):
-    """Sort queries along the index's curve and cut into _QBLOCK blocks.
+def _sorted_blocks(index: ClusterIndex, x: jnp.ndarray, order=None,
+                   qblock: int = _QBLOCK):
+    """Sort queries along the index's curve and cut into ``qblock`` blocks.
 
     Returns (xb (nb, Qb, 3), inv (n,) unsort permutation, n).  ``order``
     (optional) is a precomputed :func:`query_order` permutation."""
     n = x.shape[0]
     qord = query_order(index, x) if order is None else order
     xs = jnp.take(x, qord, axis=0)
-    Qb = min(_QBLOCK, n)
+    Qb = min(qblock, n)
     nb = -(-n // Qb)
     pad = nb * Qb - n
     if pad:
         xs = jnp.concatenate([xs, jnp.repeat(xs[-1:], pad, axis=0)])
-    return xs.reshape(nb, Qb, 3), jnp.argsort(qord), n
+    # invert the permutation by scatter (O(n)) — argsort would re-sort
+    inv = jnp.zeros((n,), jnp.int32).at[qord].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return xs.reshape(nb, Qb, 3), inv, n
 
 
 def _block_select(index: ClusterIndex, xb: jnp.ndarray, probes: int):
@@ -335,8 +339,10 @@ def _dense_argmin_stream(xs: jnp.ndarray, pts: jnp.ndarray, chunk: int = 4096):
         return (jnp.where(better, lmin, best),                 # lowest row
                 jnp.where(better, larg, brow)), None
 
-    init = (jnp.full(xs.shape[:1], jnp.inf, xs.dtype),
-            jnp.zeros(xs.shape[:1], jnp.int32))
+    # derive the init from xs so it inherits the varying-manual-axes type
+    # under shard_map (cf. _candidate_argmin_scan)
+    zero = 0.0 * xs[..., 0]
+    init = (jnp.inf + zero, zero.astype(jnp.int32))
     (best, brow), _ = lax.scan(step, init, jnp.arange(nch))
     return brow, best
 
@@ -371,43 +377,73 @@ def _fixup_uncertified(index: ClusterIndex, x: jnp.ndarray, idx, d2, cert,
     return new_idx, new_d2, new_cert
 
 
-@functools.partial(jax.jit, static_argnames=("probes", "use_pallas", "fixup"))
+# Query-block size for the fused v2 kernel.  128 matches the XLA path's
+# selection granularity exactly (identical bsel -> identical certified set
+# and results); pre-gathering already removed the per-block DMA latency
+# that motivated bigger blocks, and measured selection quality DEGRADES at
+# 512 (96.2% vs 99.1% agreement at 100k — bigger covers pick worse groups).
+_FUSED_QBLOCK = 128
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("probes", "use_pallas", "fixup", "fused",
+                                    "fused_qblock"))
 def cluster_nn(index: ClusterIndex, x: jnp.ndarray, probes: int = 16,
                use_pallas: Optional[bool] = None,
                order: Optional[jnp.ndarray] = None,
                fixup: int = 0,
+               fused: Optional[bool] = None,
+               fused_qblock: int = _FUSED_QBLOCK,
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified 1-NN: (n, 3) queries -> (idx (n,), d2 (n,), certified (n,)).
 
     ``idx`` indexes the ORIGINAL target rows.  ``certified[i]`` is True when
     the result is provably the global argmin (see module docstring).
-    ``use_pallas``: fused VMEM block-search kernel (ops/pallas_cluster)
-    instead of the XLA candidate matrix.  Default OFF — measured 15.6 ms vs
-    the XLA path's 12.1 ms at 100k: the nb*P tiny (3, g) slab DMAs are
-    latency-bound (exact-match results otherwise; see BENCH.md).
+    ``use_pallas``: the v1 in-kernel-DMA block-search kernel — kept for
+    comparison only (measured 15.6 ms vs the XLA path's 12.1 ms at 100k:
+    its nb*P tiny (3, g) slab DMAs are latency-bound; see BENCH.md).
     ``order``: precomputed :func:`query_order` permutation (a locality hint
     the solver reuses across GN iterations — rigid motion preserves it).
     ``fixup`` > 0: brute-force up to that many uncertified queries against
     the full cloud (in-solver exactness escalation; see
     :func:`_fixup_uncertified`) — with a budget covering the uncertified
     count, every returned neighbor is provably exact.
+    ``fused``: v2 Pallas kernel (ops/pallas_cluster.fused_search_pallas) —
+    XLA-batched candidate gather (the slab DMAs batched into one large
+    gather) + one VMEM kernel fusing chunked distances, running argmin and
+    the certification bound.  None = auto: ON for TPU backends — measured
+    6.8 ms vs the XLA path's 8.5 ms at 100k x 100k with IDENTICAL results
+    (same selection, same tie rule).
     """
-    xb, inv, n = _sorted_blocks(index, x[..., :3], order)
-    bsel, P = _block_select(index, xb, probes)
-    if use_pallas is None:
-        use_pallas = False
-    if use_pallas:
-        from dicp_tpu.ops.pallas_cluster import block_search_pallas
+    if fused is None:
+        fused = jax.default_backend() != "cpu" and not use_pallas
+    if fused:
+        xb, inv, n = _sorted_blocks(index, x[..., :3], order,
+                                    qblock=fused_qblock)
+        bsel, P = _block_select(index, xb, probes)
+        from dicp_tpu.ops.pallas_cluster import fused_search_pallas
 
-        best, rows = block_search_pallas(index.points, xb, bsel)
+        best, rows, bound = fused_search_pallas(
+            index.points, index.centers, index.radius, xb, bsel,
+            interpret=jax.default_backend() == "cpu")
         best = best.astype(xb.dtype)
+        bound = bound.astype(xb.dtype)
     else:
-        # scan over groups with a running argmin: each step's distance+
-        # reduce chain fuses into one streaming pass — 5.5 ms vs 7.3 ms for
-        # the flat (nb, Qb, P*g) matrix at 100k (no 1.2 GB materialization)
-        best, rows = _candidate_argmin_scan(index, xb, bsel)
+        xb, inv, n = _sorted_blocks(index, x[..., :3], order)
+        bsel, P = _block_select(index, xb, probes)
+        if use_pallas:
+            from dicp_tpu.ops.pallas_cluster import block_search_pallas
+
+            best, rows = block_search_pallas(index.points, xb, bsel)
+            best = best.astype(xb.dtype)
+        else:
+            # scan over groups with a running argmin: each step's distance+
+            # reduce chain fuses into one streaming pass — 5.5 ms vs 7.3 ms
+            # for the flat (nb, Qb, P*g) matrix at 100k (no 1.2 GB
+            # materialization)
+            best, rows = _candidate_argmin_scan(index, xb, bsel)
+        bound = _query_bounds(index, xb, bsel)
     idx = index.order[rows]
-    bound = _query_bounds(index, xb, bsel)
     idx, best, cert = (_unsort(idx, inv, n), _unsort(best, inv, n),
                        _unsort(best <= bound, inv, n))
     if fixup > 0:

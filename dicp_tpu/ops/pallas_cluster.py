@@ -1,16 +1,19 @@
-"""Pallas kernel for the cluster-index block search (TPU fast path).
+"""Pallas kernels for the cluster-index block search (TPU fast path).
 
-The XLA formulation of the block-scattered search (ops/cluster_knn)
-materializes the (nb, Qb, P*g) candidate distance matrix in HBM (~1.2 GB at
-100k, several ms of bandwidth).  This kernel fuses gather + distance +
-running argmin entirely in VMEM:
+Two generations:
 
-  grid = (nb,)   one program per query block
-  - the block's P group indices arrive via scalar prefetch, so the kernel
-    DMAs each (g, 3) group slab from HBM with double buffering while the
-    previous slab's (Qb, g) distance tile is reduced on the VPU
-  - the running (best-d2, best-row) accumulator lives in registers across
-    the P-group fori_loop; one (Qb,) result pair is written per block
+* :func:`block_search_pallas` (v1, kept for comparison): grid=(nb,), the
+  kernel itself DMAs each (3, g) group slab from HBM with double buffering.
+  Measured 15.6 ms vs the XLA path's 12.1 ms at 100k — the nb*P ~ 25k tiny
+  1.5 KB slab DMAs are latency-bound (BENCH.md r2).
+* :func:`fused_search_pallas` (v2, the production path): the slab gather is
+  done ONCE by XLA as a single large batched gather (slab DMAs batched
+  across all blocks — tens of MB at HBM bandwidth instead of 25k latency-
+  bound copies), then one grid=(nb,) kernel runs entirely out of VMEM,
+  fusing the (Qs, P*g) candidate distances + running argmin WITH the
+  per-query certification bound over all G groups (previously a separate
+  XLA pass over an (nb, Qs, G) tile).  Mosaic's automatic block pipelining
+  double-buffers the pre-gathered candidate blocks.
 
 Exactly the arithmetic of the XLA path (diff-form distances, strict '<'
 keeps the earlier candidate on ties) — parity is asserted in tests.
@@ -118,3 +121,155 @@ def block_search_pallas(points: jnp.ndarray, xb: jnp.ndarray,
     )(bsel.reshape(-1).astype(jnp.int32), xb.astype(jnp.float32),
       jnp.swapaxes(points.astype(jnp.float32), 1, 2))
     return best[:, 0, :], row[:, 0, :]
+
+
+def _make_fused_kernel(P: int, g: int, Qs: int, Gp: int, eps8: float,
+                       CH: int, ncol: int):
+    def kernel(bsel_ref, x_ref, candT_ref, centT_ref, rad_ref,
+               best_out, col_out, bound_out):
+        i = pl.program_id(0)
+        x = x_ref[0]                                       # (Qs, 3)
+        # queries stay (Qs, 3): x[:, c][:, None] is sublane-oriented, so the
+        # broadcast against lane-oriented candidate rows is free.  A (3, Qs)
+        # layout measured 4x slower — every xq[c][:, None] forced a
+        # lane->sublane relayout per group per coordinate.
+
+        # ---- phase 1: running argmin over the pre-gathered candidates in
+        # WIDE (Qs, CH) chunks.  The kernel tracks the winning candidate
+        # COLUMN only; the column -> sorted-cloud-row mapping is a trivial
+        # XLA gather afterwards.  (Per-GROUP (Qs, g=128) tiles measured
+        # 14.4 ms — 25k tiny loop iterations; CH=512 quarters them.)
+        def body(j, carry):
+            best, bcol = carry
+            y = candT_ref[0, :, pl.ds(j * CH, CH)]          # (3, CH)
+            d2 = jnp.zeros((Qs, CH), jnp.float32)
+            for c in range(3):
+                diff = x[:, c][:, None] - y[c][None, :]
+                d2 = d2 + diff * diff
+            lmin = jnp.min(d2, axis=1, keepdims=True)       # (Qs, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (Qs, CH), 1)
+            larg = jnp.min(jnp.where(d2 == lmin, col, jnp.int32(2 ** 30)),
+                           axis=1, keepdims=True) + j * CH
+            better = lmin < best                            # strict '<': the
+            best = jnp.where(better, lmin, best)            # earlier chunk
+            bcol = jnp.where(better, larg, bcol)            # wins ties
+            return best, bcol
+
+        best0 = jnp.full((Qs, 1), jnp.inf, jnp.float32)
+        col0 = jnp.zeros((Qs, 1), jnp.int32)
+        best, brow = lax.fori_loop(0, ncol, body, (best0, col0))
+
+        # ---- phase 2: certification bound = min lower bound over all
+        # NON-selected groups (cluster_knn._query_bounds, fused in)
+        dc2 = jnp.zeros((Qs, Gp), jnp.float32)
+        for c in range(3):
+            diff = x[:, c][:, None] - centT_ref[c][None, :]
+            dc2 = dc2 + diff * diff
+        dc = jnp.sqrt(dc2)
+        lb = jnp.maximum(dc * (1.0 - eps8) - rad_ref[0][None, :], 0.0) ** 2
+
+        # Exclude selected groups via an additive +inf penalty (an f32
+        # carry: a bool (1, Gp) fori_loop carry trips a Mosaic i1-vector
+        # layout bug).  inf+inf=inf, never NaN; duplicate selections fine.
+        def mask_body(j, pen):
+            colG = jax.lax.broadcasted_iota(jnp.int32, (1, Gp), 1)
+            return pen + jnp.where(colG == bsel_ref[i * P + j],
+                                   jnp.float32(jnp.inf), jnp.float32(0.0))
+
+        pen = lax.fori_loop(0, P, mask_body, jnp.zeros((1, Gp), jnp.float32))
+        bound = jnp.min(lb + pen, axis=1, keepdims=True)    # (Qs, 1)
+
+        best_out[0, 0] = best[:, 0]
+        col_out[0, 0] = brow[:, 0]
+        bound_out[0, 0] = bound[:, 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_search_pallas(points, centers, radius, xb, bsel,
+                        interpret: bool = False):
+    """v2 fused block search + certification.
+
+    (G, g, 3) grouped points / (G, 3) centers / (G,) radii x (nb, Qs, 3)
+    query blocks x (nb, P) group selections ->
+    (best d2 (nb, Qs) f32, sorted-cloud row (nb, Qs) i32, bound (nb, Qs) f32).
+
+    The candidate gather runs as ONE XLA batched gather (the v1 kernel's
+    25k latency-bound in-kernel slab DMAs, batched); the kernel streams
+    pre-gathered (3, P*g) blocks through VMEM via Mosaic's pipeline.
+    f32 arithmetic; bounds keep the few-ulp conservative slack so the
+    certificate can under-claim but never lie.
+    """
+    G, g, _ = points.shape
+    nb, Qs, _ = xb.shape
+    P = bsel.shape[1]
+    Gp = -(-G // 128) * 128
+
+    # wide candidate chunks for phase 1; pad the candidate row to a chunk
+    # multiple with far-sentinel columns (never win an argmin).  Measured at
+    # 100k (f128p32): CH=512 -> 6.83 ms, CH=2048 -> 6.97 ms; per-GROUP
+    # (CH=g=128) tiles -> 14.4 ms (loop-overhead-bound).
+    CH = min(512, P * g)
+    ncol = -(-(P * g) // CH)
+    padC = ncol * CH - P * g
+
+    cand = points.astype(jnp.float32)[bsel]                  # (nb, P, g, 3)
+    candT = jnp.transpose(cand, (0, 3, 1, 2)).reshape(nb, 3, P * g)
+    if padC:
+        candT = jnp.concatenate(
+            [candT, jnp.full((nb, 3, padC), 1.0e15, jnp.float32)], axis=2)
+    centT = jnp.swapaxes(centers.astype(jnp.float32), 0, 1)  # (3, G)
+    padG = Gp - G
+    if padG:
+        # sentinel centers: huge lb, never the binding bound
+        centT = jnp.concatenate(
+            [centT, jnp.full((3, padG), 1.0e15, jnp.float32)], axis=1)
+        radp = jnp.concatenate(
+            [radius.astype(jnp.float32), jnp.zeros((padG,), jnp.float32)])
+    else:
+        radp = radius.astype(jnp.float32)
+
+    eps8 = float(8.0 * jnp.finfo(jnp.float32).eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, Qs, 3), lambda i, bs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, ncol * CH), lambda i, bs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Gp), lambda i, bs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), lambda i, bs: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Qs), lambda i, bs: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Qs), lambda i, bs: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Qs), lambda i, bs: (i, 0, 0)),
+        ],
+    )
+    best, bcol, bound = pl.pallas_call(
+        _make_fused_kernel(P, g, Qs, Gp, eps8, CH, ncol),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, Qs), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, Qs), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, Qs), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=nb * Qs * (8 * P * g + 10 * Gp),
+            bytes_accessed=(nb * (3 * Qs + 3 * P * g + 3 * Qs)
+                            + 4 * Gp) * 4,
+            transcendentals=nb * Qs * Gp),
+        interpret=interpret,
+    )(bsel.reshape(-1).astype(jnp.int32), xb.astype(jnp.float32), candT,
+      centT, radp[None, :])
+    # winning candidate column -> sorted-cloud row (tiny XLA gather; the
+    # candidate order (group, offset) matches the XLA path's tie rule)
+    rowbase = (bsel[:, :, None].astype(jnp.int32) * g
+               + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+               ).reshape(nb, P * g)
+    row = jnp.take_along_axis(rowbase, bcol[:, 0, :], axis=1)
+    return best[:, 0, :], row, bound[:, 0, :]

@@ -124,8 +124,28 @@ def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
     return source, target, weight, C, r
 
 
+def _certified_gate(cert, dtype):
+    """Per-point validity weight from the cluster certificate.
+
+    Uncertified correspondences (the found neighbor is not PROVABLY the
+    global argmin) are excluded from the normal equations — they carry a
+    small systematic bias toward the wrong fixed point (measured 2.8e-3
+    transform error on a 100k surface scene vs 2e-7 masked; the neighbors
+    are near-correct but not argmin-exact).  Guard: if certification ever
+    collapses below 50% of points (pathological geometry), keep everything
+    — a biased estimate beats a degenerate one."""
+    w = cert.astype(dtype)
+    frac = jnp.mean(w, axis=-1, keepdims=True)
+    return jnp.where(frac >= 0.5, w, jnp.ones_like(w))
+
+
 def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
     """Correspondence closure built ONCE per solve (outside the GN loop).
+
+    Returns ``corr(ps_t) -> (nn6, valid)``: the gathered 6-col neighbor rows
+    and a per-point validity weight (None for exact backends).  The cluster
+    backend's ``valid`` is the exactness certificate — the solver then uses
+    ONLY provably-exact (or brute-force-fixed-up) correspondences.
 
     The target is constant across iterations, so the cluster backend's
     Hilbert index (ops/cluster_knn) is built here and amortized over every
@@ -136,6 +156,7 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
     iterate.  Gradients keep hard-NN semantics: indices are ints (implicitly
     detached), values flow through the gather into ``target``."""
     n, m = source.shape[-2], target.shape[-2]
+    dtype = source.dtype
     method = cfg.resolved_nn_method(n, m, jax.default_backend() == "cpu")
     if method == "cluster":
         from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
@@ -150,10 +171,11 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
             qord = query_order(index, lax.stop_gradient(ps0))
 
             def corr(ps_t):
-                idx, _, _ = cluster_nn(index, lax.stop_gradient(ps_t[0]),
-                                       probes=cfg.cluster_probes, order=qord,
-                                       fixup=cfg.resolved_cluster_fixup(n))
-                return knn.gather_rows(target, idx[None])
+                idx, _, cert = cluster_nn(index, lax.stop_gradient(ps_t[0]),
+                                          probes=cfg.cluster_probes, order=qord,
+                                          fixup=cfg.resolved_cluster_fixup(n))
+                return (knn.gather_rows(target, idx[None]),
+                        _certified_gate(cert[None], dtype))
 
             return corr
 
@@ -162,12 +184,13 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
             lax.stop_gradient(target[..., :3]))
 
         def corr(ps_t):
-            idx, _, _ = jax.vmap(
+            idx, _, cert = jax.vmap(
                 lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
                                          use_pallas=False,
                                          fixup=cfg.resolved_cluster_fixup(n)))(
                 index, lax.stop_gradient(ps_t))
-            return knn.gather_rows(target, idx)
+            return (knn.gather_rows(target, idx),
+                    _certified_gate(cert, dtype))
 
         return corr
 
@@ -177,9 +200,37 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
         # find_nn_normalized, NOT find_nn: inputs here are already (N, n, 3)
         # and (N, m, 3|6); the public entry's transpose heuristic misreads
         # 3-point clouds as (3, n) layout and corrupts correspondences.
-        return knn.find_nn_normalized(ps_t, target, use_pallas=use_pallas)
+        return knn.find_nn_normalized(ps_t, target, use_pallas=use_pallas), None
 
     return corr
+
+
+def _normal_equations(J_w, res_w, chunk: int = 4096):
+    """A = J_w^T J_w (N, k, k) and b = J_w^T res_w (N, k) with TWO-LEVEL
+    (chunked pairwise) f32 accumulation.
+
+    A flat einsum accumulates P sequential partial sums; at P ~ 3e5 rows the
+    f32 rounding noise in b reaches ~1e-4 in the Gauss-Newton step — the
+    solve then oscillates at that floor instead of converging (measured at
+    100k points on chip: pt2pt transform error plateaus at 1e-4 even with
+    EXACT correspondences).  Summing within chunks and then across chunks
+    bounds the error ~O(sqrt) instead of O(P)."""
+    N, P, k = J_w.shape
+    if P <= chunk:
+        return (jnp.einsum("npi,npj->nij", J_w, J_w),
+                jnp.einsum("npi,np->ni", J_w, res_w))
+    nc = -(-P // chunk)
+    pad = nc * chunk - P
+    if pad:
+        J_w = jnp.concatenate(
+            [J_w, jnp.zeros((N, pad, k), J_w.dtype)], axis=1)
+        res_w = jnp.concatenate(
+            [res_w, jnp.zeros((N, pad), res_w.dtype)], axis=1)
+    Jc = J_w.reshape(N, nc, chunk, k)
+    rc = res_w.reshape(N, nc, chunk)
+    A = jnp.sum(jnp.einsum("ncpi,ncpj->ncij", Jc, Jc), axis=1)
+    b = jnp.sum(jnp.einsum("ncpi,ncp->nci", Jc, rc), axis=1)
+    return A, b
 
 
 def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
@@ -201,8 +252,9 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
         # vmap keeps each element's draw independent of batch composition.
         nn6 = jax.vmap(lambda p, t, k: knn.gumbel_nn(
             p, t, k, tau=cfg.gumbel_tau, eps=cfg.gumbel_eps))(ps_t, target, key)
+        valid = None
     else:
-        nn6 = corr_fn(ps_t)
+        nn6, valid = corr_fn(ps_t)
 
     nn_err = ps_t - nn6[..., :3]                         # (N, n, 3)
 
@@ -230,6 +282,10 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
         trim_w = losses.trim_weight(nn_err, cfg.trim_dist, cfg.differentiable, cfg.tanh_steepness)
     else:
         trim_w = jnp.ones((N, n), dtype=dtype)
+    if valid is not None:
+        # cluster-certificate gate: only provably-exact correspondences
+        # enter the normal equations (see _certified_gate)
+        trim_w = trim_w * valid
     if cfg.loss_name is not None:
         loss_w = losses.robust_weight(cfg.loss_name, loss_err, cfg.loss_metric,
                                       cfg.differentiable, cfg.tanh_steepness)
@@ -268,9 +324,8 @@ def _gn_step(cfg: ICPConfig, source, target, w_init, C, r, key, corr_fn):
     res_w = w_sqrt * res                                 # (N, P)
     J_w = w_sqrt[..., None] * J                          # (N, P, k)
 
-    A = jnp.einsum("npi,npj->nij", J_w, J_w)
+    A, b = _normal_equations(J_w, res_w)
     A = A + _damping(cfg, A) * jnp.eye(k, dtype=dtype)
-    b = jnp.einsum("npi,np->ni", J_w, res_w)
     if cfg.solve_method == "closed":
         # A is SPD (J^T W J + lambda I): pivot-free closed-form solve fuses to
         # VPU elementwise ops instead of XLA's sequential batched LU.
