@@ -7,6 +7,7 @@ from dicp_tpu.parallel.sharding import (
     ring_nn,
     MapShardedResult,
 )
+from dicp_tpu.parallel.ift_sharded import register_map_sharded_ift
 from dicp_tpu.parallel.pose_graph import (
     partition_graph,
     pose_graph_optimize_partitioned,
@@ -17,6 +18,7 @@ __all__ = [
     "shard_batch",
     "register_batch_sharded",
     "register_map_sharded",
+    "register_map_sharded_ift",
     "register_ring_sharded",
     "ring_nn",
     "MapShardedResult",

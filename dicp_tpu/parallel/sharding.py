@@ -163,14 +163,19 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     def gn_iteration(C, r):
         cp = src_pts @ C.T
         ps_t = cp + r
+        valid = None
         if method == "ring":
             nn6 = ring_nn(ps_t, target, axis)
         elif method == "cluster":
-            idx, _, _ = cluster_nn(cl_index, ps_t, probes=cfg.cluster_probes,
-                                   use_pallas=False,
-                                   fixup=cfg.resolved_cluster_fixup(
-                                       source_shard.shape[0]))
+            from dicp_tpu.registration import _certified_gate
+
+            idx, _, cert = cluster_nn(cl_index, ps_t,
+                                      probes=cfg.cluster_probes,
+                                      use_pallas=False,
+                                      fixup=cfg.resolved_cluster_fixup(
+                                          source_shard.shape[0]))
             nn6 = jnp.take(target, idx, axis=0)
+            valid = _certified_gate(cert, dtype)
         elif method == "pallas":
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
             idx = nn_indices_pallas(ps_t, tgt_pts)
@@ -181,6 +186,10 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         nn_err = ps_t - nn6[:, :3]
 
         w = weight_shard
+        if valid is not None:
+            # only provably-exact cluster correspondences enter the psum'd
+            # normal equations (registration._certified_gate)
+            w = w * valid
         if cfg.trim_dist is not None:  # negative k: dICP/loss.py:54,:58 semantics
             w = w * losses.trim_weight(nn_err, cfg.trim_dist,
                                        cfg.differentiable, cfg.tanh_steepness)
@@ -251,7 +260,11 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         done = step_norm < cfg.tolerance
         return C, r, it + 1, done, cost
 
-    if cfg.differentiable:
+    # driver: scan (fixed trip count, reverse-differentiable) when
+    # differentiable, while (true early exit) otherwise — overridable via
+    # cfg.driver, which the sharded IFT uses (smooth weights + while
+    # forward: custom_vjp never differentiates through the loop).
+    if cfg.resolved_driver() == "scan":
         def scan_body(state, _):
             C, r, it, done, cost = state
 

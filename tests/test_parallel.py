@@ -237,3 +237,104 @@ def test_map_sharded_cluster_matches_dense(source_np, target_np):
     np.testing.assert_allclose(np.asarray(res_c.T), np.asarray(res_d.T),
                                atol=1e-12)
     assert _err(_t_true(), np.asarray(res_c.T)) < 1e-7
+
+
+def test_map_sharded_ift_gradients_match_unrolled(source_np, target_np):
+    """IFT backward for the map-sharded solver (VERDICT r2 #2): gradients
+    from the one-solve fixed-point adjoint must match unrolling reverse-mode
+    through the sharded GN scan to <= 1e-5, for source, target AND weight."""
+    from dicp_tpu.parallel import register_map_sharded_ift
+
+    mesh = make_mesh((1, 8))
+    # IFT gradient error scales with the residual distance to the true
+    # fixed point — drive the forward to f64 resolution.  Perturb the source
+    # so the fixed point has NONZERO residuals: on the exact-fit pair the
+    # weight gradient is identically zero (G is residual-weighted) and the
+    # comparison would measure rounding noise.
+    cfg = CFG.with_(max_iterations=80, tolerance=1e-14)
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(source_np[:, :3]
+                      + rng.normal(scale=2e-2, size=(65, 3)) * [1, 1, 0])
+    tgt = jnp.asarray(target_np)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (src.shape[0],)))
+    probe = jnp.asarray(np.linspace(0.5, 1.5, 16).reshape(4, 4))
+
+    def loss_ift(s, t, w_):
+        return jnp.sum(register_map_sharded_ift(
+            mesh, s, t, weight=w_, cfg=cfg).T * probe)
+
+    def loss_unrolled(s, t, w_):
+        return jnp.sum(register_map_sharded(
+            mesh, s, t, weight=w_, cfg=cfg).T * probe)
+
+    # forward agreement first (same solver, same driver semantics)
+    T_i = register_map_sharded_ift(mesh, src, tgt, weight=w, cfg=cfg)
+    T_u = register_map_sharded(mesh, src, tgt, weight=w, cfg=cfg)
+    assert bool(T_i.converged)
+    assert _err(np.asarray(T_i.T), np.asarray(T_u.T)) < 1e-9
+
+    g_i = jax.grad(loss_ift, argnums=(0, 1, 2))(src, tgt, w)
+    g_u = jax.grad(loss_unrolled, argnums=(0, 1, 2))(src, tgt, w)
+    for a, b, name in zip(g_i, g_u, ("source", "target", "weight")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(b).max(), 1e-12)
+        rel = np.abs(a - b).max() / denom
+        assert rel < 1e-5, f"{name} grad rel err {rel}"
+
+
+def test_map_sharded_ift_pt2pt(source_np, target_np):
+    """Same contract for the pt2pt residual (3-vector errors)."""
+    from dicp_tpu.parallel import register_map_sharded_ift
+
+    mesh = make_mesh((1, 8))
+    cfg = CFG.with_(icp_type="pt2pt", max_iterations=60, tolerance=1e-12)
+    src = jnp.asarray(source_np[:, :3])
+    tgt = jnp.asarray(target_np[:, :3])
+
+    def loss_ift(s):
+        return jnp.sum(register_map_sharded_ift(mesh, s, tgt, cfg=cfg).T)
+
+    def loss_unrolled(s):
+        return jnp.sum(register_map_sharded(mesh, s, tgt, cfg=cfg).T)
+
+    res = register_map_sharded_ift(mesh, src, tgt, cfg=cfg)
+    assert bool(res.converged)
+    assert _err(_t_true(), np.asarray(res.T)) < 1e-6
+    g_i = np.asarray(jax.grad(loss_ift)(src))
+    g_u = np.asarray(jax.grad(loss_unrolled)(src))
+    rel = np.abs(g_i - g_u).max() / max(np.abs(g_u).max(), 1e-12)
+    assert rel < 1e-5, rel
+
+
+def test_multihost_single_process_fallbacks():
+    """Multi-host readiness (VERDICT r2 #5), single-process fallback: the
+    pod recipe (initialize -> make_pod_mesh -> host_local_batch ->
+    batch-sharded solve) must run unchanged on one process and produce the
+    same result as the plain batch-sharded path."""
+    from dicp_tpu.parallel.multihost import (host_local_batch,
+                                             initialize_distributed,
+                                             make_pod_mesh,
+                                             process_local_slice)
+
+    assert initialize_distributed() is False  # one process -> no-op
+
+    mesh = make_pod_mesh(map_per_host=2)      # hybrid (4, 2) on 8 devices
+    assert mesh.shape["batch"] == 4 and mesh.shape["map"] == 2
+
+    src_np = np.load("tests/data/points_scan.npy")[:, :3]
+    tgt_np = np.load("tests/data/points_map.npy")
+    B = 8
+    sl = process_local_slice(B)
+    assert sl == slice(0, B)                  # one process owns everything
+    src = np.stack([src_np] * B)
+    tgt = np.stack([tgt_np] * B)
+    ti = np.stack([np.eye(4)] * B)
+    srcg, tgtg, tig = host_local_batch(mesh, src[sl], tgt[sl], ti[sl])
+    assert srcg.shape == (B,) + src_np.shape
+
+    res = register_batch_sharded(mesh, srcg, tgtg, tig, cfg=CFG)
+    for i in range(B):
+        assert _err(_t_true(), np.asarray(res.T[i])) < 1e-6
+
+    with pytest.raises(ValueError, match="divide"):
+        make_pod_mesh(map_per_host=3)

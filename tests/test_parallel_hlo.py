@@ -111,3 +111,46 @@ def test_map_sharding_cluster_no_extra_collectives(source_np, target_np):
     assert c["all-reduce"] == 1, c
     assert c["all-gather"] == 0 and c["reduce-scatter"] == 0 \
         and c["collective-permute"] == 0 and c["all-to-all"] == 0, c
+
+
+def test_map_sharded_ift_backward_constant_collectives(source_np, target_np):
+    """IFT backward for the map-sharded solver (VERDICT r2 #2): the grad
+    program's collective count exceeds the forward's by a CONSTANT (the k
+    (k,k) dG/dxi psums + the target-cotangent psum + bookkeeping), never
+    O(iterations) — and introduces no all-gathers."""
+    from dicp_tpu.parallel import register_map_sharded_ift
+    from dicp_tpu.parallel.sharding import register_map_sharded
+
+    mesh = make_mesh((1, 8))
+    cfg = CFG.with_(differentiable=True, driver="auto", max_iterations=25)
+    src = jnp.asarray(source_np[:64, :3])
+    tgt = jnp.asarray(target_np)
+
+    def loss(s):
+        return jnp.sum(register_map_sharded_ift(mesh, s, tgt, cfg=cfg).T)
+
+    def fwd(s):
+        return jnp.sum(register_map_sharded_ift(mesh, s, tgt, cfg=cfg).T)
+
+    txt_grad = jax.jit(jax.grad(loss)).lower(src).compile().as_text()
+    txt_fwd = jax.jit(fwd).lower(src).compile().as_text()
+    cg, cf = _collective_counts(txt_grad), _collective_counts(txt_fwd)
+    assert cg["all-gather"] == 0 and cg["reduce-scatter"] == 0 \
+        and cg["all-to-all"] == 0, cg
+    added = cg["all-reduce"] - cf["all-reduce"]
+    # k=3 jvp psums may fuse; target-cotangent psum; small slack for
+    # bookkeeping — but nothing iteration-proportional (max_iterations=25)
+    assert 0 <= added <= 8, (cg, cf)
+
+    # doubling max_iterations must NOT change the backward's added count
+    cfg2 = cfg.with_(max_iterations=50)
+
+    def loss2(s):
+        return jnp.sum(register_map_sharded_ift(mesh, s, tgt, cfg=cfg2).T)
+
+    def fwd2(s):
+        return jnp.sum(register_map_sharded_ift(mesh, s, tgt, cfg=cfg2).T)
+
+    cg2 = _collective_counts(jax.jit(jax.grad(loss2)).lower(src).compile().as_text())
+    cf2 = _collective_counts(jax.jit(fwd2).lower(src).compile().as_text())
+    assert cg2["all-reduce"] - cf2["all-reduce"] == added, (cg2, cf2, added)
