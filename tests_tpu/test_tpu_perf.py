@@ -1,0 +1,165 @@
+"""On-chip performance regression gate (VERDICT r2 #6).
+
+Correctness lanes cannot see a Mosaic/XLA fusion regression that halves
+throughput; these tests pin FLOOR values well below the measured numbers
+(BENCH.md) with the chained methodology (dicp_tpu.utils.timing.chained_rate
+— the only truthful harness on the remote-attached runtime).
+
+Floors vs measured (so tunnel jitter cannot flake the lane):
+
+  headline B=256 IFT fwd+bwd   >= 100k reg/s   (measured 155k-230k)
+  cluster 1-NN query @100k     <= 20 ms        (measured ~12 ms XLA path)
+  pallas brute 1-NN @100k      <= 80 ms        (measured ~62 ms)
+
+Also the on-chip correctness gaps VERDICT flagged: symmetric ICP and the
+streaming Gumbel soft-NN run compiled on the real chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dicp_tpu.utils.timing import chained_rate
+
+
+def test_headline_throughput_floor(pair_f32):
+    """B=256 pt2pl IFT fwd+bwd must stay above 100k registrations/s."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ift import register_ift
+
+    scan, mp = pair_f32
+    B = 256
+    src = jnp.asarray(np.stack([scan[:, :3]] * B))
+    tgt = jnp.asarray(np.stack([mp] * B))
+    ti = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
+                    tolerance=1e-6, dim=2, trim_dist=5.0,
+                    loss_name="huber", loss_metric=1.0)
+
+    def step(s, tgt_, ti_):
+        g = jax.grad(lambda s_: jnp.sum(register_ift(s_, tgt_, ti_,
+                                                     None, cfg).T))(s)
+        return jnp.sum(g) * 1e-6
+
+    dt = chained_rate(step, src, tgt, ti, k_small=4, k_big=12, reps=3)
+    reg_s = B / dt
+    assert reg_s >= 100_000, f"headline regressed: {reg_s:.0f} reg/s"
+
+
+def test_cluster_query_floor():
+    """100k x 100k cluster 1-NN query (order amortized) <= 20 ms."""
+    from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
+                                          query_order)
+
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-20, 20, (100_000, 3)).astype(np.float32)
+    y[:, 2] = np.sin(y[:, 0] * 0.3) * 2.0
+    x = (y[rng.permutation(100_000)]
+         + rng.normal(scale=0.05, size=(100_000, 3))).astype(np.float32)
+    yj, xj = jnp.asarray(y), jnp.asarray(x)
+    index = build_cluster_index(yj, 128)
+    qord = query_order(index, xj)
+
+    def step(xs, pts, cent, rad, order_, frame_, oq):
+        from dicp_tpu.ops.cluster_knn import ClusterIndex
+
+        ix = ClusterIndex(pts, cent, rad, order_, frame_)
+        idx, d2, _ = cluster_nn(ix, xs, probes=32, order=oq)
+        return jnp.sum(d2) + jnp.sum(idx.astype(jnp.float32)) * 1e-9
+
+    dt = chained_rate(step, xj, index.points, index.centers, index.radius,
+                      index.order, index.frame, qord,
+                      k_small=2, k_big=6, reps=3)
+    assert dt <= 0.020, f"cluster query regressed: {dt*1e3:.1f} ms"
+
+
+def test_pallas_knn_floor():
+    """100k x 100k brute-force Pallas 1-NN <= 80 ms (compute floor ~62)."""
+    from dicp_tpu.ops.pallas_knn import nn_distances_pallas
+
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.uniform(-20, 20, (100_000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-20, 20, (100_000, 3)).astype(np.float32))
+
+    def step(xs, ys):
+        idx, d2 = nn_distances_pallas(xs, ys)
+        return jnp.sum(d2) + jnp.sum(idx.astype(jnp.float32)) * 1e-9
+
+    dt = chained_rate(step, x, y, k_small=2, k_big=5, reps=2)
+    assert dt <= 0.080, f"pallas 1-NN regressed: {dt*1e3:.1f} ms"
+
+
+def test_symmetric_icp_on_chip():
+    """Symmetric pt2pl converges on chip (f32) — the lane gap VERDICT r2
+    flagged; CPU tests cover it only in f64."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(7)
+    normals = np.array([[0, 0, 1.0], [1.0, 0, 0], [0, 1.0, 0]])
+    pts, nrm = [], []
+    for k in range(3):
+        uv = rng.uniform(-5, 5, size=(200, 2))
+        basis = np.eye(3)[[i for i in range(3) if i != np.argmax(normals[k])]]
+        pts.append(uv @ basis + normals[k] * (2.0 + k))
+        nrm.append(np.tile(normals[k], (200, 1)))
+    cloud = np.hstack([np.vstack(pts), np.vstack(nrm)]).astype(np.float32)
+
+    xi = jnp.asarray(np.array([.05, -.04, .06, .02, -.01, .03], np.float32))
+    T_true = se3.vec2tran(xi)
+    Ti = np.asarray(se3.tran_inv(T_true))
+    src = np.hstack([cloud[:, :3] @ Ti[:3, :3].T + Ti[:3, 3],
+                     cloud[:, 3:6] @ Ti[:3, :3].T]).astype(np.float32)
+
+    cfg = ICPConfig(icp_type="symmetric", differentiable=True,
+                    max_iterations=50, tolerance=1e-8, dim=3)
+    res = register_jit(jnp.asarray(src[None]), jnp.asarray(cloud[None]),
+                       jnp.eye(4, dtype=jnp.float32)[None], None, cfg=cfg)
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    assert err < 1e-4, err
+
+
+def test_streaming_gumbel_on_chip():
+    """Streaming (online-softmax) Gumbel soft-NN compiled on chip: matches
+    the dense path's convex-combination semantics at tiny tau (numerically
+    one-hot -> equals hard NN)."""
+    from dicp_tpu import knn
+
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.uniform(-10, 10, (5000, 6)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    key = jax.random.key(0)
+    out = knn.gumbel_nn(x, y, key, tau=1e-3, chunk=512)   # streaming path
+    hard = knn.hard_nn(x, y)
+    agree = float(jnp.mean((jnp.linalg.norm(
+        out[..., :3] - hard[..., :3], axis=-1) < 1e-3).astype(jnp.float32)))
+    assert agree > 0.99, agree
+
+
+def test_fused_cluster_kernel_exact_on_chip():
+    """v2 fused block-search kernel COMPILED (not interpret): exact match
+    with the XLA candidate path on chip, certificate sound vs brute force."""
+    from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn)
+    from dicp_tpu.ops.pallas_knn import nn_indices_pallas
+
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.uniform(-30, 30, (50_000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-30, 30, (20_000, 3)).astype(np.float32))
+    index = jax.jit(lambda t: build_cluster_index(t, 128))(y)
+    idx_f, _, cert_f = cluster_nn(index, x, probes=32, fused=True)
+    ref = np.asarray(nn_indices_pallas(x, y, interpret=False))
+    cf = np.asarray(cert_f)
+    mism = np.asarray(idx_f)[cf] != ref[cf]
+    if mism.any():  # exact-tie twins allowed
+        xr = np.asarray(x)[cf][mism]
+        da = np.sum((xr - np.asarray(y)[np.asarray(idx_f)[cf][mism]])**2, -1)
+        db = np.sum((xr - np.asarray(y)[ref[cf][mism]])**2, -1)
+        np.testing.assert_allclose(da, db, rtol=1e-6)
+    # fixup closes every gap
+    idx_a, _, cert_a = cluster_nn(index, x, probes=32, fused=True,
+                                  fixup=x.shape[0])
+    assert bool(jnp.all(cert_a))
