@@ -471,13 +471,33 @@ def _topk_small(d2: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "probes"))
+@functools.partial(jax.jit, static_argnames=("k", "probes", "fused"))
 def cluster_knn(index: ClusterIndex, x: jnp.ndarray, k: int, probes: int = 16,
+                fused: Optional[bool] = None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact-certified k-NN: -> (idx (n, k), d2 (n, k), certified (n,)).
 
     Neighbors are sorted by ascending distance.  ``certified`` requires the
-    k-th distance to beat the best non-selected group's lower bound."""
+    k-th distance to beat the best non-selected group's lower bound.
+    ``fused`` (auto: ON for TPU backends when k <= 32): the Pallas
+    extraction kernel (ops/pallas_cluster.fused_topk_pallas) — the
+    candidate d2 tile lives in VMEM and the k argmin/mask passes never
+    re-read HBM, vs the XLA path's k full passes over the (n, P*g)
+    candidate matrix (78-115 ms at 100k k=16, VERDICT r2 #3)."""
+    if fused is None:
+        fused = jax.default_backend() != "cpu" and k <= 32
+    if fused:
+        from dicp_tpu.ops.pallas_cluster import fused_topk_pallas
+
+        xb, inv, n = _sorted_blocks(index, x[..., :3], qblock=_FUSED_QBLOCK)
+        bsel, P = _block_select(index, xb, probes)
+        d2k, rows, bound = fused_topk_pallas(
+            index.points, index.centers, index.radius, xb, bsel, k,
+            interpret=jax.default_backend() == "cpu")
+        d2k = d2k.astype(xb.dtype)
+        idx = index.order[rows]
+        return (_unsort(idx, inv, n), _unsort(d2k, inv, n),
+                _unsort(d2k[..., -1] <= bound.astype(xb.dtype), inv, n))
     xb, inv, n = _sorted_blocks(index, x[..., :3])
     bsel, P = _block_select(index, xb, probes)
     d2, pos = _candidate_d2(index, xb, bsel)

@@ -273,3 +273,148 @@ def fused_search_pallas(points, centers, radius, xb, bsel,
                ).reshape(nb, P * g)
     row = jnp.take_along_axis(rowbase, bcol[:, 0, :], axis=1)
     return best[:, 0, :], row, bound[:, 0, :]
+
+
+def _make_topk_kernel(P: int, g: int, Qs: int, Gp: int, eps8: float,
+                      CH: int, ncol: int, k: int):
+    L = ncol * CH
+
+    def kernel(bsel_ref, x_ref, candT_ref, centT_ref, rad_ref,
+               best_out, col_out, bound_out, d2_scr):
+        i = pl.program_id(0)
+        x = x_ref[0]                                       # (Qs, 3)
+
+        # ---- phase 1: materialize the block's full (Qs, L) candidate d2
+        # tile in VMEM scratch.  This is what makes k-extraction cheap: the
+        # XLA _topk_small path re-reads the HBM-resident candidate matrix k
+        # times (16 passes over 1.2 GB = 78 ms at 100k); here every pass is
+        # a VPU sweep over VMEM.
+        def fill(j, _):
+            y = candT_ref[0, :, pl.ds(j * CH, CH)]          # (3, CH)
+            d2 = jnp.zeros((Qs, CH), jnp.float32)
+            for c in range(3):
+                diff = x[:, c][:, None] - y[c][None, :]
+                d2 = d2 + diff * diff
+            d2_scr[:, pl.ds(j * CH, CH)] = d2
+            return 0
+
+        lax.fori_loop(0, ncol, fill, 0)
+
+        # ---- phase 2: k iterative-argmin extraction passes (k static ->
+        # unrolled).  Masked iota-min, not argmin (Mosaic tuple-reduce trap);
+        # masking ONLY the winning column keeps duplicate distances for
+        # later ranks — exactly cluster_knn._topk_small's rule.
+        colL = jax.lax.broadcasted_iota(jnp.int32, (Qs, L), 1)
+        for j in range(k):
+            d2 = d2_scr[:, :]
+            lmin = jnp.min(d2, axis=1, keepdims=True)       # (Qs, 1)
+            larg = jnp.min(jnp.where(d2 == lmin, colL, jnp.int32(2 ** 30)),
+                           axis=1, keepdims=True)
+            best_out[0, j] = lmin[:, 0]
+            col_out[0, j] = larg[:, 0]
+            if j + 1 < k:
+                d2_scr[:, :] = jnp.where(colL == larg, jnp.float32(jnp.inf),
+                                         d2)
+
+        # ---- phase 3: certification bound over non-selected groups
+        # (identical to the 1-NN kernel; certified iff the k-th distance
+        # beats it)
+        dc2 = jnp.zeros((Qs, Gp), jnp.float32)
+        for c in range(3):
+            diff = x[:, c][:, None] - centT_ref[c][None, :]
+            dc2 = dc2 + diff * diff
+        dc = jnp.sqrt(dc2)
+        lb = jnp.maximum(dc * (1.0 - eps8) - rad_ref[0][None, :], 0.0) ** 2
+
+        def mask_body(j, pen):
+            colG = jax.lax.broadcasted_iota(jnp.int32, (1, Gp), 1)
+            return pen + jnp.where(colG == bsel_ref[i * P + j],
+                                   jnp.float32(jnp.inf), jnp.float32(0.0))
+
+        pen = lax.fori_loop(0, P, mask_body, jnp.zeros((1, Gp), jnp.float32))
+        bound_out[0, 0] = jnp.min(lb + pen, axis=1, keepdims=True)[:, 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_topk_pallas(points, centers, radius, xb, bsel, k: int,
+                      interpret: bool = False):
+    """Fused exact k-NN block search (VERDICT r2 #4).
+
+    Same contract as :func:`fused_search_pallas` but returns the k best:
+    (d2 (nb, Qs, k) ascending, sorted-cloud rows (nb, Qs, k),
+    bound (nb, Qs)).  The candidate d2 tile lives in VMEM scratch and the k
+    argmin/mask extraction passes never touch HBM — vs the XLA path's k
+    full re-reads of the (n, P*g) candidate matrix.
+    """
+    G, g, _ = points.shape
+    nb, Qs, _ = xb.shape
+    P = bsel.shape[1]
+    if k > P * g:
+        raise ValueError(f"k={k} exceeds the {P * g} candidates per block")
+    Gp = -(-G // 128) * 128
+
+    CH = min(512, P * g)
+    ncol = -(-(P * g) // CH)
+    padC = ncol * CH - P * g
+
+    cand = points.astype(jnp.float32)[bsel]                  # (nb, P, g, 3)
+    candT = jnp.transpose(cand, (0, 3, 1, 2)).reshape(nb, 3, P * g)
+    if padC:
+        candT = jnp.concatenate(
+            [candT, jnp.full((nb, 3, padC), 1.0e15, jnp.float32)], axis=2)
+    centT = jnp.swapaxes(centers.astype(jnp.float32), 0, 1)  # (3, G)
+    padG = Gp - G
+    if padG:
+        centT = jnp.concatenate(
+            [centT, jnp.full((3, padG), 1.0e15, jnp.float32)], axis=1)
+        radp = jnp.concatenate(
+            [radius.astype(jnp.float32), jnp.zeros((padG,), jnp.float32)])
+    else:
+        radp = radius.astype(jnp.float32)
+
+    eps8 = float(8.0 * jnp.finfo(jnp.float32).eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, Qs, 3), lambda i, bs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, ncol * CH), lambda i, bs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Gp), lambda i, bs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gp), lambda i, bs: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, Qs), lambda i, bs: (i, 0, 0)),
+            pl.BlockSpec((1, k, Qs), lambda i, bs: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Qs), lambda i, bs: (i, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Qs, ncol * CH), jnp.float32)],
+    )
+    best, bcol, bound = pl.pallas_call(
+        _make_topk_kernel(P, g, Qs, Gp, eps8, CH, ncol, k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, k, Qs), jnp.float32),
+            jax.ShapeDtypeStruct((nb, k, Qs), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, Qs), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=nb * Qs * (8 * P * g + 4 * k * ncol * CH + 10 * Gp),
+            bytes_accessed=(nb * (3 * Qs + 3 * P * g + (2 * k + 1) * Qs)
+                            + 4 * Gp) * 4,
+            transcendentals=nb * Qs * Gp),
+        interpret=interpret,
+    )(bsel.reshape(-1).astype(jnp.int32), xb.astype(jnp.float32), candT,
+      centT, radp[None, :])
+    rowbase = (bsel[:, :, None].astype(jnp.int32) * g
+               + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+               ).reshape(nb, P * g)
+    row = jnp.take_along_axis(
+        rowbase, bcol.reshape(nb, k * Qs), axis=1).reshape(nb, k, Qs)
+    return (jnp.transpose(best, (0, 2, 1)), jnp.transpose(row, (0, 2, 1)),
+            bound[:, 0, :])

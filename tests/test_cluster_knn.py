@@ -407,3 +407,32 @@ def test_fused_search_parity():
         lambda q: cluster_nn(index, q, probes=16, fused=True))(
         x.reshape(4, 1024, 3))
     assert idx_v.shape == (4, 1024)
+
+
+def test_fused_topk_parity():
+    """The fused k-NN extraction kernel (VMEM scratch, k argmin/mask passes)
+    must reproduce the XLA _topk_small path exactly: same distances, same
+    rows (same tie rule), same certificates."""
+    from dicp_tpu.ops.cluster_knn import cluster_knn as _cknn
+
+    rng = np.random.default_rng(21)
+    y = jnp.asarray(rng.uniform(-30, 30, (20_000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-30, 30, (2_048, 3)).astype(np.float32))
+    index = build_cluster_index(y, 128)
+    for k, probes in ((16, 16), (4, 32), (1, 16)):
+        idx_f, d2_f, c_f = _cknn(index, x, k=k, probes=probes, fused=True)
+        idx_x, d2_x, c_x = _cknn(index, x, k=k, probes=probes, fused=False)
+        np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_x),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_x))
+        np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_x))
+
+    # certified rows match dense brute-force k-NN distances
+    k = 8
+    idx_f, d2_f, c_f = _cknn(index, x, k=k, probes=32, fused=True)
+    d2 = np.sum((np.asarray(x)[:, None, :] - np.asarray(y)[None, :, :]) ** 2,
+                axis=-1)
+    ref = np.sort(d2, axis=1)[:, :k]
+    cf = np.asarray(c_f)
+    assert cf.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(d2_f)[cf], ref[cf], rtol=1e-5)
