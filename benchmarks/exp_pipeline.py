@@ -15,7 +15,11 @@ Every timed full/batch loop ends in a host fetch of all transforms, so
 device work cannot be skipped (axon acks without completion).  Inputs get a
 per-run shift so no dispatch is byte-identical (axon dedup).
 
-Run: timeout 590 python benchmarks/exp_pipeline.py [host xfer full batch4 batch8]
+  streamW — dicp_tpu.pipeline.stream_odometry with window W (the
+            production serving loop: one transfer per scan, one dispatch
+            per W pairs, fetch only at the end)
+
+Run: timeout 590 python benchmarks/exp_pipeline.py [host xfer full batch4 stream8]
 """
 
 import os
@@ -130,6 +134,19 @@ def run_batched(tmpdir, shift, K):
     return np.asarray(jnp.concatenate(rels))
 
 
+def run_stream(tmpdir, shift, W):
+    """The production pipeline (dicp_tpu.pipeline): one transfer per scan,
+    one dispatch per W pairs, results fetched only at the end."""
+    from dicp_tpu.pipeline import stream_odometry
+
+    def gen():
+        for pts_np, w_np in ds_iter(tmpdir):
+            yield pts_np[:, :3] + shift, w_np
+
+    out = stream_odometry(gen(), CFG, window=W)
+    return np.asarray(out.rel_transforms)
+
+
 def main():
     modes = sys.argv[1:] or ["host", "xfer", "full", "batch4"]
     tmpdir, T_step = make_dataset()
@@ -146,6 +163,9 @@ def main():
         elif mode.startswith("batch"):
             K = int(mode[5:])
             fn = lambda d, s, K=K: run_batched(d, s, K)
+        elif mode.startswith("stream"):
+            W = int(mode[6:])
+            fn = lambda d, s, W=W: run_stream(d, s, W)
         else:
             raise SystemExit(f"unknown mode {mode}")
 

@@ -17,6 +17,8 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
 * :mod:`dicp_tpu.parallel` — jax.sharding mesh utilities: batch-sharded
   registration and map-sharded normal-equation psum reduction.
 * :mod:`dicp_tpu.odometry` — chained scan-to-scan odometry / pose graph.
+* :mod:`dicp_tpu.pipeline` — streaming serving loop (windowed dispatch,
+  one transfer per scan, async depth over the host/device boundary).
 * :mod:`dicp_tpu.api` — drop-in ``ICP`` class with the reference's exact
   call surface and ragged-input handling.
 """
@@ -27,6 +29,7 @@ from dicp_tpu.ift import register_ift, register_ift_jit
 from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_knn,
                                       cluster_nn, cluster_nn_verified)
 from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
+from dicp_tpu.pipeline import stream_odometry, stream_registrations
 from dicp_tpu.registration import ICPResult, register, register_jit
 from dicp_tpu.svd_icp import pt2pt_svd_icp
 
@@ -49,5 +52,7 @@ __all__ = [
     "register_ift",
     "register_ift_jit",
     "register_jit",
+    "stream_odometry",
+    "stream_registrations",
     "__version__",
 ]

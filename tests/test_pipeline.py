@@ -1,0 +1,64 @@
+"""Streaming serving pipeline (dicp_tpu.pipeline) — windowed-dispatch
+odometry must match the per-pair loop exactly (VERDICT r2 #3)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dicp_tpu import se3
+from dicp_tpu.config import ICPConfig
+from dicp_tpu.odometry import odometry
+from dicp_tpu.pipeline import stream_odometry, stream_registrations
+
+from tests.test_odometry import CFG, _make_sequence
+
+
+def _as_stream(scans):
+    """(S, n, c) array -> the (points, weight) numpy iterator the pipeline
+    consumes (all-ones weights, the solver's default)."""
+    for s in np.asarray(scans):
+        yield s, np.ones((s.shape[0],), s.dtype)
+
+
+def test_stream_matches_batched_odometry(target_np):
+    """Windowed streaming == the one-shot batched odometry solve, exactly
+    (same solver, batch==serial invariant) — incl. a ragged tail window."""
+    scans, _ = _make_sequence(target_np, n_scans=8)
+    ref = odometry(scans, CFG)
+    for window in (3, 8, 16):    # 7 pairs: multi-window + tail, exact, pad
+        out = stream_odometry(_as_stream(scans), CFG, window=window)
+        np.testing.assert_allclose(np.asarray(out.rel_transforms),
+                                   np.asarray(ref.rel_transforms), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.poses),
+                                   np.asarray(ref.poses), atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(out.converged),
+                                      np.asarray(ref.converged))
+        np.testing.assert_array_equal(np.asarray(out.iterations),
+                                      np.asarray(ref.iterations))
+
+
+def test_stream_registrations_window_boundaries(target_np):
+    """Window seams reuse the boundary scan: pair (k*W) registers scan
+    k*W+1 against scan k*W — no dropped or duplicated pairs."""
+    scans, poses_true = _make_sequence(target_np, n_scans=6)
+    chunks = list(stream_registrations(_as_stream(scans), CFG, window=2))
+    ks = [c[0].shape[0] for c in chunks]
+    assert sum(ks) == 5 and all(k <= 2 for k in ks)
+    rel = jnp.concatenate([c[0] for c in chunks])
+    # recovered relative transforms match ground truth steps
+    for i in range(5):
+        T_true = np.linalg.inv(np.asarray(poses_true[i])) @ np.asarray(poses_true[i + 1])
+        err = np.linalg.norm(np.asarray(se3.tran2vec(
+            jnp.asarray(np.asarray(rel[i]) @ np.linalg.inv(T_true)))))
+        assert err < 1e-8
+
+
+def test_stream_needs_two_scans(target_np):
+    scans, _ = _make_sequence(target_np, n_scans=2)
+    one = list(stream_registrations(_as_stream(scans[:1]), CFG, window=4))
+    assert one == []
+    try:
+        stream_odometry(_as_stream(scans[:1]), CFG)
+    except ValueError as e:
+        assert "two scans" in str(e)
+    else:
+        raise AssertionError("expected ValueError for a 1-scan stream")
