@@ -94,6 +94,17 @@ class ICPConfig:
     # chunk at the measured knee.  Results are bitwise identical (batch
     # elements are independent).
     batch_chunk: Optional[int] = None
+    # Whole-solve fused Pallas kernel for small pairs (ops/fused_gn): the
+    # ENTIRE while-driver iteration loop — correspondences, robust weights,
+    # normal equations, closed-form solve, retraction, bookkeeping — runs as
+    # ONE kernel, every iterate living in VMEM.  The XLA while driver
+    # launches ~15-25 fused kernels per GN iteration (~110 us/iter at B=256
+    # on 65-point pairs — dispatch/fusion-bound, not FLOP-bound; BENCH.md).
+    # None = auto (currently OFF pending on-chip verification; will mean
+    # "TPU backend + eligible config: while driver, histories off, hard
+    # dense NN, n<=256/m<=512"); True forces (interpret mode off-TPU —
+    # tests), False disables.
+    fused_small: Optional[bool] = None
     # Normal-equation solve: 'closed' = pivot-free Cramer/Schur closed form
     # (fuses to VPU elementwise ops; valid because A is SPD), 'lu' = XLA's
     # generic batched LU (the reference's torch.linalg.inv analogue).

@@ -628,6 +628,31 @@ def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
 
 def _register_impl(source, target, T_init, weight, cfg, key):
     source, target, weight, C, r = _preprocess(cfg, source, target, T_init, weight)
+
+    from dicp_tpu.ops.fused_gn import fused_eligible, fused_gn_solve
+
+    if fused_eligible(cfg, source, target, key):
+        # Whole-solve Pallas mega-kernel (one program for the entire
+        # iteration loop; see ops/fused_gn).  Interpret mode makes the CPU
+        # test lane exercise the same kernel code.
+        w_pt = weight[:, ::3] if cfg.icp_type == "pt2pt" else weight
+        Cv, rv, conv, iters, ratio, wsave, cost = fused_gn_solve(
+            source[..., :3], target, w_pt, C, r, cfg,
+            interpret=jax.default_backend() == "cpu")
+        if cfg.icp_type == "pt2pt":
+            wsave = jnp.repeat(wsave, 3, axis=-1)
+        N = source.shape[0]
+        dtype = source.dtype
+        pc = jnp.einsum("nij,npj->npi", Cv, source[..., :3]) + rv[:, None, :]
+        T_ts = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+        T_ts = T_ts.at[:, :3, :3].set(Cv).at[:, :3, 3].set(rv)
+        return ICPResult(
+            pc=pc, T=T_ts,
+            costs=cost[:, None, None],
+            deltas=jnp.zeros((N, 1, 6, 1), dtype=dtype),
+            weights=wsave[:, None, :, None],
+            converged=conv, iterations=iters, matched_ratio=ratio)
+
     corr_fn = _make_corr_fn(cfg, source, target, C, r)
 
     driver = cfg.resolved_driver()
