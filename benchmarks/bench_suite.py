@@ -251,6 +251,29 @@ def bench_large_cloud():
           agreement_vs_bruteforce_pct=round(100 * agree, 4),
           note="solver amortizes the one-time build over all GN iterations")
 
+    # exact k-NN (k=16) through the same index: fused VMEM extraction kernel
+    # (auto on TPU) vs the XLA k-pass fallback (VERDICT r2 #4: was 78-115 ms)
+    from dicp_tpu.ops.cluster_knn import cluster_knn
+
+    for fused_flag, tag in ((None, "cluster_knn16_100k"),
+                            (False, "cluster_knn16_100k_xla")):
+        def knn16_step(s, pts, c, r, o, fr, _fused=fused_flag):
+            ix = ClusterIndex(pts, c, r, o, fr)
+            idx16, d2k, cert = cluster_knn(ix, s, k=16, probes=32,
+                                           fused=_fused)
+            return (jnp.sum(idx16.astype(jnp.float32)) * 1e-9
+                    + jnp.sum(cert) * 1e-9 + jnp.sum(d2k) * 1e-20)
+
+        dt16 = _chained_rate(jax.jit(knn16_step), source, index.points,
+                             index.centers, index.radius, index.order,
+                             index.frame, k_small=2, k_big=6)
+        detail = {}
+        if fused_flag is None:
+            idx16, d2k16, cert16 = cluster_knn(index, source, k=16, probes=32)
+            detail = dict(certified_pct=round(
+                100 * float(jnp.mean(cert16.astype(jnp.float32))), 3))
+        _emit(tag, dt16 * 1e3, "ms", k=16, **detail)
+
     cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
                     tolerance=1e-5, dim=3, trim_dist=2.0,
                     loss_name="huber", loss_metric=1.0, nn_method="cluster")
@@ -468,12 +491,57 @@ def bench_pipeline():
         _emit(f"pipeline_sweep_voxel_{tag}", S / dt, "frames/s", rel_err=err,
               scans=S, raw_pts=60_000, max_pts=max_pts, nn_method=nn)
 
-    # headline = finest setting that meets the 1e-3 accuracy bound
+    # Windowed streaming serving loop (dicp_tpu.pipeline, VERDICT r2 #3):
+    # one h2d transfer per scan, one dispatch per W pairs, device futures
+    # kept in flight while the host preprocesses.  Measured on a longer
+    # 64-scan sequence (sustained rate; the per-pair loop above is
+    # dispatch-bound so short sequences flatter it).
+    from dicp_tpu.pipeline import stream_odometry
+
+    S2 = 64
+    tmpdir2 = tempfile.mkdtemp(prefix="dicp_bench_stream_")
+    T = np.eye(4, dtype=np.float32)
+    for i in range(S2):
+        Ti = np.linalg.inv(T).astype(np.float32)
+        scan = scene @ Ti[:3, :3].T + Ti[:3, 3]
+        save_bin(os.path.join(tmpdir2, f"{i:04d}.bin"),
+                 np.hstack([scan, np.zeros((scan.shape[0], 1), np.float32)]))
+        T = T @ T_step
+
+    raw_cfg = ICPConfig(icp_type="pt2pt", differentiable=False,
+                        max_iterations=30, tolerance=1e-5, dim=3,
+                        trim_dist=1.0, loss_name="huber", loss_metric=0.5,
+                        nn_method="cluster")
+
+    def run_streamed(shift, W):
+        ds = ScanDataset.from_dir(tmpdir2, max_points=61440, voxel=None,
+                                  workers=4, prefetch=4)
+        gen = ((pts[:, :3] + shift, w) for pts, w in ds)
+        res = stream_odometry(gen, raw_cfg, window=W)
+        return np.asarray(res.rel_transforms)   # host fetch: forces all work
+
+    shift_n = 0
+    for W in (4, 8):
+        run_streamed(np.float32(0), W)          # compile + warm
+        best, err = float("inf"), None
+        for _ in range(2):
+            shift_n += 1
+            t0 = time.time()
+            rels = run_streamed(np.float32(shift_n * 1e-7), W)
+            dt = time.time() - t0
+            best = min(best, dt)
+        err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
+            jnp.asarray(r @ step_inv)))) for r in rels]))
+        results[f"streamW{W}"] = (S2 / best, err)
+        _emit(f"pipeline_stream_window{W}", S2 / best, "frames/s",
+              rel_err=err, scans=S2, raw_pts=60_000, window=W)
+
+    # headline = fastest setting that meets the 1e-3 accuracy bound
     ok = [(tag, f, e) for tag, (f, e) in results.items() if e <= 1e-3]
     tag, fps, err = max(ok, key=lambda t: t[1]) if ok else \
         min(((t, f, e) for t, (f, e) in results.items()), key=lambda t: t[2])
-    _emit("pipeline_stream", fps, "frames/s", rel_err=err, scans=S,
-          chosen_voxel=tag)
+    _emit("pipeline_stream", fps, "frames/s", rel_err=err,
+          chosen=tag)
 
 
 ALL = {
