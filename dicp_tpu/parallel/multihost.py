@@ -60,10 +60,30 @@ def initialize_distributed(
     if already is not None and jax.distributed.is_initialized():
         return jax.process_count() > 1
 
-    on_tpu_pod = jax.default_backend() == "tpu" and coordinator_address is None
-    if not on_tpu_pod and (coordinator_address is None
-                           or (num_processes or 1) <= 1):
-        return False  # single process: nothing to initialize
+    # CRITICAL: decide WITHOUT touching the XLA backend.  Anything that
+    # initializes it (jax.default_backend(), jax.devices(), ...) before
+    # jax.distributed.initialize() makes the latter raise — found by
+    # actually launching two processes (tests/test_multiprocess.py).
+    if coordinator_address is None:
+        # TPU-pod auto-discovery: the Cloud TPU runtime advertises the
+        # worker topology in the environment; multiple hostnames means a
+        # pod slice whose coordinator jax can discover on its own.
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," not in hosts:
+            return False  # single process: nothing to initialize
+    elif (num_processes or 1) <= 1:
+        return False  # explicit single-process launch
+
+    # CPU hosts need a cross-process collectives backend (TPU/GPU bring
+    # their own); gloo is what XLA:CPU ships.  Decided from the requested
+    # platform string — still without initializing the backend.
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in str(platforms).lower():
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # option renamed/absent: let jax pick its default
+            pass
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -102,12 +122,25 @@ def make_pod_mesh(
     if n_hosts > 1:
         from jax.experimental import mesh_utils
 
-        # hybrid mesh: outer (DCN) axis = hosts, inner (ICI) = local split
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_local // map_per_host, map_per_host),
-            dcn_mesh_shape=(n_hosts, 1),
-        )
-        return Mesh(devices.reshape(batch, map_per_host), axis_names)
+        # Hybrid mesh: outer (DCN) axis = hosts, inner (ICI) = local split.
+        # Granule = PROCESS, not slice: a multi-host pod slice is one ICI
+        # slice (every device reports slice_index 0), so the slice-granule
+        # default raises — found by an actual 2-process launch
+        # (tests/test_multiprocess.py).
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_local // map_per_host, map_per_host),
+                dcn_mesh_shape=(n_hosts, 1),
+                process_is_granule=True,
+            )
+        except ValueError:
+            # deterministic fallback: host boundary on the outer axis
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            devices = np.array(devs).reshape(
+                n_hosts * (n_local // map_per_host), map_per_host)
+        return Mesh(np.asarray(devices).reshape(batch, map_per_host),
+                    axis_names)
     devices = np.asarray(jax.devices()).reshape(batch, map_per_host)
     return Mesh(devices, axis_names)
 
