@@ -38,16 +38,21 @@ def main():
     target = jnp.asarray(np.stack([mp]) * jnp.ones((B, 1, 1), jnp.float32))
     t_init = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
 
+    # collect_histories=False: fused_eligible REQUIRES it (the default True
+    # made every "fused ON" row silently measure the XLA path — the A/B
+    # would have gated the auto flip on vacuous numbers)
     cfg = ICPConfig(icp_type="pt2pl", differentiable=True, max_iterations=100,
                     tolerance=1e-6, dim=2, trim_dist=5.0,
-                    loss_name="huber", loss_metric=1.0)
+                    loss_name="huber", loss_metric=1.0,
+                    collect_histories=False)
     print(f"backend={jax.default_backend()} dev={jax.devices()[0]}",
           file=sys.stderr, flush=True)
 
     # --- parity on chip: fused vs XLA while driver (non-chained, one shot)
     cfg_w = cfg.with_(differentiable=True, driver="while")
-    print("eligible(auto):",
-          fused_eligible(cfg_w, source, target, None), flush=True)
+    elig = fused_eligible(cfg_w.with_(fused_small=True), source, target, None)
+    print("eligible(forced):", elig, flush=True)
+    assert elig, "fused kernel not eligible — the A/B below would be vacuous"
     rf = jax.jit(lambda s: register(
         s, target, t_init, None, cfg_w.with_(fused_small=True)).T)(source)
     rx = jax.jit(lambda s: register(

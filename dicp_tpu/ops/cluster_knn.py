@@ -314,37 +314,49 @@ def _unsort(arr, inv, n):
     return jnp.take(flat, inv, axis=0)
 
 
-def _dense_argmin_stream(xs: jnp.ndarray, pts: jnp.ndarray, chunk: int = 4096):
+def _dense_argmin_stream(xs: jnp.ndarray, pts: jnp.ndarray, chunk: int = 4096,
+                         ids: Optional[jnp.ndarray] = None):
     """Exact brute-force argmin of ``xs`` (U, 3) against ``pts`` (M, 3).
 
-    Streams target chunks through a running (d2, row) argmin — the VPU
-    diff-form floor, never materializing (U, M).  Ties resolve to the
-    LOWEST row (global brute-force rule).  Returns (row (U,), d2 (U,))."""
+    Streams target chunks through a running (d2, id) argmin — the VPU
+    diff-form floor, never materializing (U, M).  ``ids`` (M,) labels each
+    target row (e.g. ORIGINAL-cloud rows when ``pts`` is Hilbert-sorted);
+    exact-distance ties resolve to the LOWEST id — the global brute-force
+    rule duplicate-point data depends on.  Returns (id (U,), d2 (U,))."""
     M = pts.shape[0]
+    if ids is None:
+        ids = jnp.arange(M, dtype=jnp.int32)
     nch = -(-M // chunk)
     pad = nch * chunk - M
     if pad:
         pts = jnp.concatenate(
             [pts, jnp.full((pad, 3), _SENTINEL, pts.dtype)], axis=0)
+        ids = jnp.concatenate(
+            [ids.astype(jnp.int32),
+             jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+    ids = ids.astype(jnp.int32)
 
     def step(carry, i):
-        best, brow = carry
+        best, bid = carry
         yc = lax.dynamic_slice_in_dim(pts, i * chunk, chunk, axis=0)
+        idc = lax.dynamic_slice_in_dim(ids, i * chunk, chunk, axis=0)
         d2 = jnp.sum((xs[:, None, :] - yc[None, :, :].astype(xs.dtype)) ** 2,
                      axis=-1)                                  # (U, chunk)
         lmin = jnp.min(d2, axis=-1)
-        larg = (jnp.argmin(d2, axis=-1).astype(jnp.int32)
-                + i.astype(jnp.int32) * jnp.int32(chunk))
-        better = lmin < best                                   # strict: keeps
-        return (jnp.where(better, lmin, best),                 # lowest row
-                jnp.where(better, larg, brow)), None
+        # lowest id among the chunk's tied minima
+        lid = jnp.min(jnp.where(d2 == lmin[:, None], idc[None, :],
+                                jnp.iinfo(jnp.int32).max), axis=-1)
+        better = (lmin < best) | ((lmin == best) & (lid < bid))
+        return (jnp.where(better, lmin, best),
+                jnp.where(better, lid, bid)), None
 
     # derive the init from xs so it inherits the varying-manual-axes type
     # under shard_map (cf. _candidate_argmin_scan)
     zero = 0.0 * xs[..., 0]
-    init = (jnp.inf + zero, zero.astype(jnp.int32))
-    (best, brow), _ = lax.scan(step, init, jnp.arange(nch))
-    return brow, best
+    init = (jnp.inf + zero,
+            jnp.iinfo(jnp.int32).max + zero.astype(jnp.int32))
+    (best, bid), _ = lax.scan(step, init, jnp.arange(nch))
+    return bid, best
 
 
 def _fixup_uncertified(index: ClusterIndex, x: jnp.ndarray, idx, d2, cert,
@@ -367,8 +379,10 @@ def _fixup_uncertified(index: ClusterIndex, x: jnp.ndarray, idx, d2, cert,
         jnp.where(unc, slot, U)].set(jnp.arange(n, dtype=jnp.int32),
                                      mode="drop")
     xs = jnp.take(x, sel, axis=0)
-    row, bf_d2 = _dense_argmin_stream(xs, index.points.reshape(-1, 3))
-    bf_idx = index.order[row]
+    # stream over the sorted cloud but tie-break by ORIGINAL row (ids =
+    # index.order), matching the exact brute-force rule on duplicate points
+    bf_idx, bf_d2 = _dense_argmin_stream(xs, index.points.reshape(-1, 3),
+                                         ids=index.order)
     take = jnp.take(unc, sel)           # unwritten slots point at query 0:
     new_idx = idx.at[sel].set(jnp.where(take, bf_idx, jnp.take(idx, sel)))
     new_d2 = d2.at[sel].set(jnp.where(take, bf_d2.astype(d2.dtype),

@@ -127,7 +127,7 @@ def _exp_so3_s(w):
             for i in range(3)]
 
 
-def _loss_w(name, le2, metric, differentiable):
+def _loss_w(name, le2, metric, differentiable, steep):
     """losses.robust_weight on precomputed |loss_err|^2 (Bt, n, 1)."""
     m2 = metric * metric
     if name is None:
@@ -146,7 +146,7 @@ def _loss_w(name, le2, metric, differentiable):
         d = m2 + le2
         return (m2 / d) ** 2
     if name == "trim":
-        return _trim_w(le2, metric, differentiable, 5.0)
+        return _trim_w(le2, metric, differentiable, steep)
     raise ValueError(name)
 
 
@@ -239,7 +239,7 @@ def _make_kernel(cfg: ICPConfig, bt: int, n: int, m: int):
                 else:
                     le2 = en2
                 lw = _loss_w(cfg.loss_name, le2, f32(cfg.loss_metric),
-                             cfg.differentiable)
+                             cfg.differentiable, f32(cfg.tanh_steepness))
                 w = w0v * trim * lw                      # (bt, n, 1) per point
                 w_sqrt = jnp.sqrt(w + 1.0e-10) - 1.0e-5  # dICP/ICP.py:194
                 ws2 = w_sqrt * w_sqrt

@@ -111,10 +111,12 @@ def _stationarity_local(cfg: ICPConfig, xi, C_star, r_star, src_s, tgt,
         return J.T @ (w3 * res)
 
 
-def _local_nn_idx(cfg: ICPConfig, ps_t, tgt):
+def _local_nn_idx(cfg: ICPConfig, ps_t, tgt, axis=None):
     """Correspondence indices at theta* plus the certificate gate (None for
     exact backends), same backend resolution as the sharded forward
-    (sharding._map_sharded_body)."""
+    (sharding._map_sharded_body).  ``axis``: mesh axis name so the 50%
+    certification guard fires on the GLOBAL fraction, matching the
+    forward's gate."""
     method = cfg.resolved_nn_method(ps_t.shape[0], tgt.shape[0],
                                     jax.default_backend() == "cpu")
     tgt_pts = lax.stop_gradient(tgt[:, :3])
@@ -124,10 +126,13 @@ def _local_nn_idx(cfg: ICPConfig, ps_t, tgt):
         from dicp_tpu.registration import _certified_gate
 
         cl_index = build_cluster_index(tgt_pts, cfg.cluster_group)
+        # fused=False like use_pallas=False: stay on XLA inside shard_map
+        # until the Pallas kernel is A/B'd on-chip in this combination
         idx, _, cert = cluster_nn(cl_index, q, probes=cfg.cluster_probes,
-                                  use_pallas=False,
+                                  use_pallas=False, fused=False,
                                   fixup=cfg.resolved_cluster_fixup(q.shape[0]))
-        return idx, lax.stop_gradient(_certified_gate(cert, q.dtype))
+        return idx, lax.stop_gradient(
+            _certified_gate(cert, q.dtype, axis=axis))
     if method == "pallas":
         from dicp_tpu.ops.pallas_knn import nn_indices_pallas
 
@@ -187,7 +192,7 @@ def _make_core(mesh: Mesh, cfg: ICPConfig, axis: str):
         def bwd_body(src_s, w_s, tgt_, xi_bar_, C_, r_):
             with jax.default_matmul_precision("float32"):
                 ps_t = src_s[:, :3] @ C_.T + r_
-                idx, gate = _local_nn_idx(cfg, ps_t, tgt_)
+                idx, gate = _local_nn_idx(cfg, ps_t, tgt_, axis=axis)
                 zero = jnp.zeros((k,), src_s.dtype)
 
                 def G_loc(xi, s_, t_, wp_):

@@ -71,8 +71,11 @@ def initialize_distributed(
         hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
         if "," not in hosts:
             return False  # single process: nothing to initialize
-    elif (num_processes or 1) <= 1:
-        return False  # explicit single-process launch
+    elif num_processes == 1:
+        return False  # EXPLICIT single-process launch only.  A coordinator
+        # address with num_processes unset still initializes (jax cluster
+        # auto-detection fills the rest) — silently skipping here would
+        # run N independent single-process jobs with wrong results.
 
     # CPU hosts need a cross-process collectives backend (TPU/GPU bring
     # their own); gloo is what XLA:CPU ships.  Decided from the requested

@@ -167,15 +167,20 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         if method == "ring":
             nn6 = ring_nn(ps_t, target, axis)
         elif method == "cluster":
-            from dicp_tpu.registration import _certified_gate
-
+            # fused=False like use_pallas=False: the Pallas kernels inside a
+            # shard_map body are unvalidated on-chip — stay on XLA here
+            # until the combination is A/B'd on real hardware.
             idx, _, cert = cluster_nn(cl_index, ps_t,
                                       probes=cfg.cluster_probes,
-                                      use_pallas=False,
+                                      use_pallas=False, fused=False,
                                       fixup=cfg.resolved_cluster_fixup(
                                           source_shard.shape[0]))
             nn6 = jnp.take(target, idx, axis=0)
-            valid = _certified_gate(cert, dtype)
+            # raw per-point certificate; the 50% fallback guard
+            # (registration._certified_gate) is applied GLOBALLY below by
+            # riding the normal-equation psum — a separate scalar psum here
+            # would double the per-iteration collective count
+            valid = cert.astype(dtype)
         elif method == "pallas":
             from dicp_tpu.ops.pallas_knn import nn_indices_pallas
             idx = nn_indices_pallas(ps_t, tgt_pts)
@@ -186,10 +191,6 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         nn_err = ps_t - nn6[:, :3]
 
         w = weight_shard
-        if valid is not None:
-            # only provably-exact cluster correspondences enter the psum'd
-            # normal equations (registration._certified_gate)
-            w = w * valid
         if cfg.trim_dist is not None:  # negative k: dICP/loss.py:54,:58 semantics
             w = w * losses.trim_weight(nn_err, cfg.trim_dist,
                                        cfg.differentiable, cfg.tanh_steepness)
@@ -222,20 +223,41 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
                 axis=-1)
             res = nn_err.reshape(3 * n_local)
             w = jnp.repeat(w, 3, axis=-1)
+            if valid is not None:
+                valid = jnp.repeat(valid, 3, axis=-1)
 
         if cfg.dim == 2:
             J = J[:, 2:5]
         k = J.shape[-1]
         # Partial normal equations on this shard; the psum of these blocks is
-        # the ONLY per-iteration cross-device traffic (<= 6x6 + 6 floats).
-        Jw = w[:, None] * J
-        A_local = J.T @ Jw                       # (k, k)
-        b_local = J.T @ (w * res)                # (k,)
-        cost_local = jnp.sum(w * res * res)
-        A = lax.psum(A_local, axis)
+        # the ONLY per-iteration cross-device traffic (<= 6x6 + 6 floats;
+        # doubled plus one count when the certificate gate is active).
+
+        def _ne(wv):
+            return (J.T @ (wv[:, None] * J),     # (k, k)
+                    J.T @ (wv * res),            # (k,)
+                    jnp.sum(wv * res * res))
+
+        if valid is None:
+            A, b, cost = lax.psum(_ne(w), axis)
+        else:
+            # The 50% certification fallback (registration._certified_gate)
+            # must fire on the GLOBAL fraction or shards diverge near the
+            # threshold — but a separate scalar psum would add a second
+            # per-iteration collective.  Instead both the gated and ungated
+            # normal equations plus the certified count share the ONE fused
+            # all-reduce (independent summands: XLA's combiner merges them),
+            # and the guard selects after the psum.
+            ne_g = _ne(w * valid)
+            ne_f = _ne(w)
+            (A_g, b_g, c_g), (A_f, b_f, c_f), cnt = lax.psum(
+                (ne_g, ne_f, jnp.sum(valid)), axis)
+            frac = cnt / (valid.shape[0] * lax.axis_size(axis))
+            use = frac >= 0.5
+            A = jnp.where(use, A_g, A_f)
+            b = jnp.where(use, b_g, b_f)
+            cost = jnp.where(use, c_g, c_f)
         A = A + _damping(cfg, A) * jnp.eye(k, dtype=dtype)
-        b = lax.psum(b_local, axis)
-        cost = lax.psum(cost_local, axis)
         from dicp_tpu.ops.smallsolve import solve_spd
         delta_k = -solve_spd(A, b) if cfg.solve_method == "closed" \
             else -jnp.linalg.solve(A, b[:, None])[:, 0]

@@ -124,7 +124,7 @@ def _preprocess(cfg: ICPConfig, source, target, T_init, weight):
     return source, target, weight, C, r
 
 
-def _certified_gate(cert, dtype):
+def _certified_gate(cert, dtype, axis=None):
     """Per-point validity weight from the cluster certificate.
 
     Uncertified correspondences (the found neighbor is not PROVABLY the
@@ -133,9 +133,18 @@ def _certified_gate(cert, dtype):
     transform error on a 100k surface scene vs 2e-7 masked; the neighbors
     are near-correct but not argmin-exact).  Guard: if certification ever
     collapses below 50% of points (pathological geometry), keep everything
-    — a biased estimate beats a degenerate one."""
+    — a biased estimate beats a degenerate one.
+
+    ``axis``: mesh axis name when called from a shard_map body — the
+    fraction is then computed over the GLOBAL cloud (one scalar psum), so
+    the gate fires identically on every shard and the sharded solve keeps
+    the same fixed point as the single-device solve near the threshold."""
     w = cert.astype(dtype)
-    frac = jnp.mean(w, axis=-1, keepdims=True)
+    if axis is None:
+        frac = jnp.mean(w, axis=-1, keepdims=True)
+    else:
+        total = lax.psum(jnp.sum(w, axis=-1, keepdims=True), axis)
+        frac = total / (w.shape[-1] * lax.axis_size(axis))
     return jnp.where(frac >= 0.5, w, jnp.ones_like(w))
 
 
@@ -184,9 +193,11 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
             lax.stop_gradient(target[..., :3]))
 
         def corr(ps_t):
+            # fused=False like use_pallas=False: the fused kernel under
+            # vmap is unvalidated on-chip — XLA path here until A/B'd
             idx, _, cert = jax.vmap(
                 lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
-                                         use_pallas=False,
+                                         use_pallas=False, fused=False,
                                          fixup=cfg.resolved_cluster_fixup(n)))(
                 index, lax.stop_gradient(ps_t))
             return (knn.gather_rows(target, idx),

@@ -436,3 +436,23 @@ def test_fused_topk_parity():
     cf = np.asarray(c_f)
     assert cf.mean() > 0.5
     np.testing.assert_allclose(np.asarray(d2_f)[cf], ref[cf], rtol=1e-5)
+
+
+def test_fixup_tie_rule_duplicate_points():
+    """Duplicate target points (voxel-snapped / repeated static returns):
+    the brute-force fixup must resolve exact-distance ties to the lowest
+    ORIGINAL row — the Hilbert-sorted stream order is not the original
+    order (code-review r3)."""
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-10, 10, (1000, 3))
+    y = jnp.asarray(np.concatenate([base, base]))   # every point duplicated
+    x = jnp.asarray(base + rng.normal(scale=1e-3, size=base.shape))
+    ref_idx, _ = _dense_nn(x, y)
+    assert int(np.asarray(ref_idx).max()) < 1000    # ref picks the low copy
+    index = build_cluster_index(y, 64)
+    # force every query through the brute-force fixup path
+    idx, _, cert = cluster_nn(index, x, probes=1, fixup=x.shape[0])
+    fixed = np.asarray(cert)
+    assert fixed.sum() > 0
+    np.testing.assert_array_equal(np.asarray(idx)[fixed],
+                                  np.asarray(ref_idx)[fixed])

@@ -162,3 +162,14 @@ def test_batch_padding():
     src, tgt, _ = _make_batch(5, 30, 30, dim=2, normals=True, seed=7)
     cfg = BASE.with_(icp_type="pt2pl", dim=2, loss_name="huber")
     _compare(cfg, src, tgt)
+
+
+def test_trim_loss_custom_steepness():
+    # loss_name='trim' with a NON-default tanh_steepness: the kernel must
+    # thread cfg.tanh_steepness into the soft trim LOSS weight, not just the
+    # trim_dist gate (code-review r3: a hard-coded 5.0 diverged here)
+    src, tgt, _ = _make_batch(4, 40, 40, dim=2, normals=False, seed=9)
+    cfg = BASE.with_(icp_type="pt2pt", dim=2, differentiable=True,
+                     loss_name="trim", loss_metric=2.0, trim_dist=None,
+                     tanh_steepness=2.0)
+    _compare(cfg, src, tgt)

@@ -100,15 +100,22 @@ def test_ring_sharding_ppermute_only_for_map_shards(source_np, target_np):
 
 def test_map_sharding_cluster_no_extra_collectives(source_np, target_np):
     """The cluster correspondence backend inside the map-sharded body is
-    pure local compute: the compiled collective structure must be identical
-    to the dense backend's (one fused psum, nothing else)."""
+    pure local compute: per GN ITERATION the compiled program runs exactly
+    one fused all-reduce (the normal equations — which with the certificate
+    gate also carry the ungated variant + certified count in the SAME
+    all-reduce, see sharding._ne).  XLA sinks the loop-invariant scalar
+    cost reduction out of the while loop — a once-per-solve collective, so
+    at most one extra all-reduce outside the loop is allowed."""
     mesh = make_mesh((1, 8))
     cfg = CFG.with_(nn_method="cluster", cluster_group=16, cluster_probes=8)
     fn = map_sharded_fn(mesh, cfg, axis="map", target_sharded=False)
     txt = fn.lower(jnp.asarray(source_np[:64, :3]), jnp.ones(64),
                    jnp.asarray(target_np), jnp.eye(4)).compile().as_text()
     c = _collective_counts(txt)
-    assert c["all-reduce"] == 1, c
+    in_loop = [line for line in txt.splitlines()
+               if "all-reduce(" in line and "/while/" in line]
+    assert len(in_loop) == 1, in_loop
+    assert c["all-reduce"] <= 2, c
     assert c["all-gather"] == 0 and c["reduce-scatter"] == 0 \
         and c["collective-permute"] == 0 and c["all-to-all"] == 0, c
 
