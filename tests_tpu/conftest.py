@@ -10,6 +10,7 @@ Invocation (documented in BENCH.md):  python -m pytest tests_tpu/ -q
 """
 
 import os
+import threading
 
 import numpy as np
 import pytest
@@ -20,7 +21,37 @@ import jax
 # (e.g. 'axon') may expose device strings without "tpu" in them, which would
 # silently skip this whole lane on the very chip it exists to cover
 # (ADVICE r2).  Any non-CPU backend counts as the real-chip lane.
-TPU = jax.default_backend() != "cpu"
+#
+# The probe runs under a timeout: a remote-attached platform whose tunnel is
+# down BLOCKS in backend init forever (observed: jax.default_backend() hangs
+# >10 min during an outage), which would hang collection of the whole lane
+# rather than skip it.  Timeout -> treated as no TPU.
+_PROBE_S = float(os.environ.get("DICP_TPU_PROBE_TIMEOUT_S", "120"))
+
+
+def _probe_backend():
+    result = {}
+
+    def run():
+        try:
+            result["backend"] = jax.default_backend()
+        except Exception:  # noqa: BLE001 — any init failure means no chip
+            result["backend"] = "cpu"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(_PROBE_S)
+    if "backend" not in result:
+        import warnings
+
+        warnings.warn("TPU backend probe timed out "
+                      f"({_PROBE_S:.0f}s) — treating as no TPU attached "
+                      "(tunnel down?); the real-chip lane will skip")
+        return "cpu"
+    return result["backend"]
+
+
+TPU = _probe_backend() != "cpu"
 
 collect_ignore_glob = []  # nothing ignored; skipping is per-test via fixture
 

@@ -163,3 +163,48 @@ def test_fused_cluster_kernel_exact_on_chip():
     idx_a, _, cert_a = cluster_nn(index, x, probes=32, fused=True,
                                   fixup=x.shape[0])
     assert bool(jnp.all(cert_a))
+
+
+def test_fused_topk_exact_on_chip():
+    """Fused VMEM top-k extraction COMPILED on chip: bitwise-identical
+    neighbor sets, distances, and certificates vs the XLA k-pass path."""
+    from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_knn
+
+    rng = np.random.default_rng(13)
+    y = jnp.asarray(rng.uniform(-20, 20, (30_000, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-20, 20, (10_000, 3)).astype(np.float32))
+    index = jax.jit(lambda t: build_cluster_index(t, 128))(y)
+    idx_f, d2_f, cert_f = cluster_knn(index, x, k=8, probes=32, fused=True)
+    idx_x, d2_x, cert_x = cluster_knn(index, x, k=8, probes=32, fused=False)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cert_f), np.asarray(cert_x))
+
+
+def test_fused_gn_parity_on_chip(pair_f32):
+    """Whole-solve fused GN kernel COMPILED (Mosaic, not interpret): every
+    result field must match the XLA while driver on the reference pair —
+    the gate for flipping the fused_small auto default."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    scan, mp = pair_f32
+    B = 16
+    src = jnp.asarray(np.stack([scan[:, :3]] * B))
+    tgt = jnp.asarray(np.stack([mp] * B))
+    ti = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * B))
+    base = ICPConfig(icp_type="pt2pl", differentiable=False, driver="while",
+                     collect_histories=False, max_iterations=60,
+                     tolerance=1e-6, dim=2, trim_dist=5.0,
+                     loss_name="huber", loss_metric=1.0, nn_method="dense")
+    rf = register_jit(src, tgt, ti, None, cfg=base.with_(fused_small=True))
+    rx = register_jit(src, tgt, ti, None, cfg=base.with_(fused_small=False))
+    np.testing.assert_allclose(np.asarray(rf.T), np.asarray(rx.T),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(rf.converged),
+                                  np.asarray(rx.converged))
+    np.testing.assert_allclose(np.asarray(rf.iterations),
+                               np.asarray(rx.iterations), atol=0)
+    np.testing.assert_allclose(np.asarray(rf.matched_ratio),
+                               np.asarray(rx.matched_ratio), atol=1e-5)
