@@ -178,7 +178,8 @@ def main():
             out = fn(tmpdir, np.float32(shift_n * 1e-7))
             dt = time.time() - t0
             best = min(best, dt)
-            if mode == "full" or mode.startswith("batch"):
+            if (mode == "full" or mode.startswith("batch")
+                    or mode.startswith("stream")):
                 err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
                     jnp.asarray(r @ step_inv)))) for r in out]))
         extra = f"  rel_err={err:.2e}" if err is not None else ""
