@@ -173,3 +173,18 @@ def test_trim_loss_custom_steepness():
                      loss_name="trim", loss_metric=2.0, trim_dist=None,
                      tanh_steepness=2.0)
     _compare(cfg, src, tgt)
+
+
+@pytest.mark.parametrize("loss", ["huber", "cauchy", "welsch", "gm", "trim",
+                                  None])
+@pytest.mark.parametrize("icp_type,dim", [("pt2pl", 3), ("pt2pt", 2)])
+def test_loss_zoo_parity(loss, icp_type, dim):
+    # every IRLS loss through the kernel, smooth variants (the serving
+    # config), vs the XLA while driver
+    src, tgt, _ = _make_batch(3, 48, 64, dim=dim,
+                              normals=(icp_type == "pt2pl"), seed=17)
+    cfg = BASE.with_(icp_type=icp_type, dim=dim, differentiable=True,
+                     loss_name=loss,
+                     loss_metric=2.0 if loss else 1.0,
+                     trim_dist=4.0)
+    _compare(cfg, src, tgt)
