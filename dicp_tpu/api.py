@@ -53,6 +53,7 @@ def batch_size_handling(
     weight=None,
     target_pad_val: float = 1000.0,
     keep_source_normals: bool = False,
+    soft_nn: bool = False,
 ):
     """Normalize (possibly ragged) inputs to dense batched jnp arrays.
 
@@ -63,6 +64,16 @@ def batch_size_handling(
     ``keep_source_normals`` preserves 6-column sources (required by
     symmetric ICP, which reads source normals; the reference normalizer
     always strips them, dICP/ICP.py:371).
+
+    Ragged-target padding: with hard NN (``soft_nn=False``) pad rows REPEAT
+    the cloud's last real row — every hard backend's tie rule picks the
+    lowest(-original) row, so a pad can never change a result, and the
+    rows stay inside the real bounding box (the reference's distant
+    sentinel, dICP/ICP.py:460, collapses the cluster index's Hilbert
+    quantization frame to 1-2 cells and silently corrupts large ragged
+    registrations — code-review r3).  ``soft_nn=True`` (Gumbel) keeps the
+    far sentinel: the softmax gives duplicated rows probability mass, while
+    a distant sentinel's is ~0.
     """
     src_cols = 6 if keep_source_normals else 3
     # ---- phony path: entire source/target missing (dICP/ICP.py:329-346)
@@ -146,7 +157,10 @@ def batch_size_handling(
                  jnp.zeros((n_max - ni, src_cols), dtype=dt)], axis=0))
             if weight is not None and weight[i] is not None:
                 wi = jnp.asarray(weight[i], dtype=dt)
-                assert wi.shape[0] == ni, "weight must have same number of rows as source"
+                if wi.shape[0] != ni:
+                    raise ValueError(
+                        f"weight[{i}] has {wi.shape[0]} rows but source[{i}] "
+                        f"has {ni} — per-cloud weights must align row-wise")
             else:
                 wi = jnp.ones((ni,), dtype=dt)
             w_rows.append(jnp.concatenate([wi, jnp.zeros((n_max - ni,), dtype=dt)]))
@@ -178,7 +192,10 @@ def batch_size_handling(
                 raise ValueError("target list must contain (m x 3/6) tensors with a "
                                  "consistent number of columns")
             mi = t.shape[0]
-            pad = pad_val * jnp.ones((m_max - mi, tgt_dim), dtype=dt)
+            if soft_nn:
+                pad = pad_val * jnp.ones((m_max - mi, tgt_dim), dtype=dt)
+            else:
+                pad = jnp.broadcast_to(t[-1:], (m_max - mi, tgt_dim))
             tgt_rows.append(jnp.concatenate([t, pad], axis=0))
         tgt = jnp.stack(tgt_rows)
         if zero_w_rows:
@@ -275,6 +292,15 @@ class ICP:
                           eps=self.gumbel_eps, tau=self.gumbel_tau)
 
     def _call_cfg(self, trim_dist, loss_fn, dim) -> ICPConfig:
+        # Reference idiom: user code pokes icp.nn.tau / icp.nn.eps /
+        # icp.nn.use_gumbel directly (the reference loop reads self.nn, so
+        # the poke changes solve behavior, dICP/ICP.py:44).  Honor it by
+        # reading the (possibly mutated) nn shim, falling back to the
+        # constructor values.
+        nn = getattr(self, "nn", None)
+        use_gumbel = getattr(nn, "use_gumbel", self.use_gumbel)
+        gumbel_eps = float(getattr(nn, "eps", self.gumbel_eps))
+        gumbel_tau = float(getattr(nn, "tau", self.gumbel_tau))
         return self._base_cfg.with_(
             icp_type=self.icp_type,
             max_iterations=self.max_iterations,
@@ -285,9 +311,9 @@ class ICP:
             target_pad_val=float(self.target_pad_val),
             source_zeroes_are_pad=self.source_zeroes_are_pad,
             match_ratio_thresh=self.match_ratio_thresh,
-            use_gumbel=self.use_gumbel,
-            gumbel_eps=self.gumbel_eps,
-            gumbel_tau=self.gumbel_tau,
+            use_gumbel=use_gumbel,
+            gumbel_eps=gumbel_eps,
+            gumbel_tau=gumbel_tau,
             dim=dim,
             trim_dist=None if trim_dist is None else float(trim_dist),
             loss_name=None if loss_fn is None else loss_fn["name"],
@@ -309,7 +335,8 @@ class ICP:
         cfg = self._call_cfg(trim_dist, loss_fn, dim)
         src, tgt, ti, w = batch_size_handling(
             source, target, T_init, weight, target_pad_val=cfg.target_pad_val,
-            keep_source_normals=(self.icp_type == "symmetric"))
+            keep_source_normals=(self.icp_type == "symmetric"),
+            soft_nn=(cfg.differentiable and cfg.use_gumbel))
         if ti is None:
             ti = jnp.broadcast_to(jnp.eye(4, dtype=src.dtype), (src.shape[0], 4, 4))
         elif ti.shape[0] == 1 and src.shape[0] > 1:

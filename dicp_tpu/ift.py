@@ -50,8 +50,12 @@ def _solver_weight(w):
     return s * s
 
 
-def _pose_from_xi(cfg: ICPConfig, xi, C_star, r_star):
-    """T(theta* [+] xi) as a (N, 4, 4) homogeneous matrix."""
+def _retract(cfg: ICPConfig, xi, C_star, r_star):
+    """(C, r) at theta* [+] xi — the ONE xi->pose map the adjoint relies on
+    (embeds the dim-2 3-vector into slots 2:5, then the solver's retraction
+    del_C^T C / r - rho, registration._gn_step & dICP/ICP.py:204-217).
+    Shared by the cotangent pose map and the stationarity so they cannot
+    desynchronize."""
     dtype = C_star.dtype
     N = C_star.shape[0]
     if cfg.dim == 2:
@@ -62,6 +66,14 @@ def _pose_from_xi(cfg: ICPConfig, xi, C_star, r_star):
     del_C = se3.exp_so3(xi6[:, :3])
     C = jnp.swapaxes(del_C, -1, -2) @ C_star
     r = r_star - xi6[:, 3:]
+    return C, r
+
+
+def _pose_from_xi(cfg: ICPConfig, xi, C_star, r_star):
+    """T(theta* [+] xi) as a (N, 4, 4) homogeneous matrix."""
+    dtype = C_star.dtype
+    N = C_star.shape[0]
+    C, r = _retract(cfg, xi, C_star, r_star)
     T = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
     return T.at[:, :3, :3].set(C).at[:, :3, 3].set(r)
 
@@ -90,11 +102,22 @@ def _fixed_point_res(cfg: ICPConfig, source, target, weight, T_init):
 
 def _fp_fwd(cfg, source, target, weight, T_init):
     res = _fixed_point_res(cfg, source, target, weight, T_init)
-    return res, (source, target, weight, res.T)
+    return res, (source, target, weight, T_init, res.T)
 
 
 def _fp_bwd(cfg, saved, res_bar):
-    source, target, weight, T = saved
+    # The f32 matmul pin must cover the BACKWARD trace too: register_ift's
+    # with-block only wraps the primal, and custom_vjp bwd rules are traced
+    # during the cotangent sweep — without the pin every einsum/@ here runs
+    # in the TPU's default bf16 and the implicit gradients bias ~1e-2-1e-3
+    # off the unrolled reference (code-review r3; the precision-trap class
+    # BENCH.md documents).
+    with jax.default_matmul_precision("float32"):
+        return _fp_bwd_impl(cfg, saved, res_bar)
+
+
+def _fp_bwd_impl(cfg, saved, res_bar):
+    source, target, weight, T_init, T = saved
     T_bar = res_bar.T  # every other field is detached by contract
     dtype = source.dtype
     N = source.shape[0]
@@ -108,28 +131,45 @@ def _fp_bwd(cfg, saved, res_bar):
     # 3-vectors directly.
     from dicp_tpu.registration import _preprocess
 
-    src, tgt, w_prior, _, _ = _preprocess(
-        cfg, source, target,
-        jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4)), weight)
+    src, tgt, w_prior, C0, r0 = _preprocess(cfg, source, target, T_init, weight)
     if cfg.icp_type == "pt2pt":
         w_prior = w_prior[..., ::3]            # undo the x3 expansion
 
-    # fixed correspondences at theta* — same backend resolution as the
-    # solver (dense / pallas / cluster), so the backward never materializes
-    # a distance matrix the forward avoided
+    # fixed correspondences at theta* — mirroring the forward's backend
+    # EXACTLY (registration._make_corr_fn), so the stationarity linearized
+    # here is the same G whose root the forward converged to: the
+    # single-target path keeps the query curve-order (computed at the
+    # T_init pose, like the forward) and the default fused kernel; the
+    # batch path pins use_pallas=False, fused=False like the forward's
+    # vmapped call.  A backend mismatch changes the certified set and
+    # silently skews the implicit gradients (code-review r3).
     ps_t = jnp.einsum("nij,npj->npi", C_star, src[..., :3]) + r_star[:, None, :]
     n_, m_ = ps_t.shape[-2], tgt.shape[-2]
     method = cfg.resolved_nn_method(n_, m_, jax.default_backend() == "cpu")
     if method == "cluster":
-        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+        from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
+                                              query_order)
         from dicp_tpu.registration import _certified_gate
 
-        index = jax.vmap(lambda t: build_cluster_index(t, cfg.cluster_group))(
-            lax.stop_gradient(tgt[..., :3]))
-        idx, _, cert = jax.vmap(
-            lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
-                                     fixup=cfg.resolved_cluster_fixup(n_)))(
-            index, lax.stop_gradient(ps_t))
+        if tgt.shape[0] == 1:
+            index1 = build_cluster_index(
+                lax.stop_gradient(tgt[0, ..., :3]), cfg.cluster_group)
+            ps0 = jnp.einsum("ij,pj->pi", C0[0], src[0, :, :3]) + r0[0][None, :]
+            qord = query_order(index1, lax.stop_gradient(ps0))
+            idx1, _, cert1 = cluster_nn(
+                index1, lax.stop_gradient(ps_t[0]),
+                probes=cfg.cluster_probes, order=qord,
+                fixup=cfg.resolved_cluster_fixup(n_))
+            idx, cert = idx1[None], cert1[None]
+        else:
+            index = jax.vmap(
+                lambda t: build_cluster_index(t, cfg.cluster_group))(
+                lax.stop_gradient(tgt[..., :3]))
+            idx, _, cert = jax.vmap(
+                lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
+                                         use_pallas=False, fused=False,
+                                         fixup=cfg.resolved_cluster_fixup(n_)))(
+                index, lax.stop_gradient(ps_t))
         # replicate the forward's certificate gate in the stationarity: the
         # fixed point was computed with uncertified matches excluded
         w_prior = w_prior * lax.stop_gradient(_certified_gate(cert, dtype))
@@ -200,14 +240,7 @@ def _stationarity_weighted(cfg, xi, C_star, r_star, source, target, idx, w_prior
     symmetric ICP, whose residual reads the source normals too."""
     dtype = source.dtype
     N, n = source.shape[0], source.shape[1]
-    if cfg.dim == 2:
-        zeros = jnp.zeros((N, 1), dtype=dtype)
-        xi6 = jnp.concatenate([zeros, zeros, xi, zeros], axis=-1)
-    else:
-        xi6 = xi
-    del_C = se3.exp_so3(xi6[:, :3])
-    C = jnp.swapaxes(del_C, -1, -2) @ C_star
-    r = r_star - xi6[:, 3:]
+    C, r = _retract(cfg, xi, C_star, r_star)
     cp = jnp.einsum("nij,npj->npi", C, source[..., :3])
     ps_t = cp + r[:, None, :]
     nn6 = knn.gather_rows(target, idx)

@@ -394,7 +394,12 @@ def _apply_step(cfg: ICPConfig, source, target, carry: _Carry, it, key, corr_fn)
     all_zero = (jnp.sum(w_save, axis=-1) == 0.0)[:, None]
     w_save = jnp.where(all_zero, carry.prev_w_save, w_save)
     cost_out = lax.stop_gradient(cost)
-    cost_out = jnp.where(cost_out == 0.0, carry.prev_cost, cost_out)
+    # Carry on zero cost (dICP/ICP.py:229-234) OR on the all-zero-weight
+    # mask: the latter yields cost == 0 exactly only when sqrt(1e-10)-1e-5
+    # cancels to 0.0, which an approximate sqrt lowering can miss by an ulp
+    # (cost ~1e-24) and silently skip the carry (code-review r3).
+    cost_out = jnp.where((cost_out == 0.0) | all_zero[:, 0],
+                         carry.prev_cost, cost_out)
 
     delta_norm = jnp.linalg.norm(lax.stop_gradient(delta6), axis=-1)  # dICP/ICP.py:237
     below = delta_norm < cfg.tolerance
@@ -664,7 +669,11 @@ def _register_impl(source, target, T_init, weight, cfg, key):
             weights=wsave[:, None, :, None],
             converged=conv, iterations=iters, matched_ratio=ratio)
 
-    corr_fn = _make_corr_fn(cfg, source, target, C, r)
+    # Gumbel soft-NN has its own dense path in _gn_step — building the hard
+    # corr closure (incl. a cluster index + query sort) would be dead ops
+    # traced into every program (code-review r3).
+    corr_fn = None if (cfg.differentiable and cfg.use_gumbel) \
+        else _make_corr_fn(cfg, source, target, C, r)
 
     driver = cfg.resolved_driver()
     if driver == "scan":

@@ -323,3 +323,72 @@ def test_icp_nn_attribute_parity():
     out = solver.nn.find_nn(x, y)
     np.testing.assert_allclose(np.asarray(out[0, 0, :3]), [0.0, 0, 0],
                                atol=1e-12)
+
+
+def test_ragged_target_pad_stays_in_bbox_and_cluster_safe():
+    """Ragged-target pad rows must not distort geometry-sensitive backends:
+    the reference's (max|src|+1)*1000 sentinel collapses the cluster
+    index's Hilbert bounding box to 1-2 cells (code-review r3).  Hard-NN
+    padding now repeats the last real row (tie rules make pads unelectable
+    winners), so a padded ragged batch solved through the CLUSTER backend
+    matches the unpadded per-cloud dense solve."""
+    from dicp_tpu.api import batch_size_handling
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(-5, 5, (4000, 3))
+    xi = jnp.asarray(np.array([0.05, -0.03, 0.02, 0.01, 0.0, 0.02]))
+    T = se3.vec2tran(xi)
+    src_np = (base @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3])
+    tgt_list = [jnp.asarray(base), jnp.asarray(base[:2500])]   # ragged
+    src_list = [jnp.asarray(src_np), jnp.asarray(src_np[:2500])]
+
+    src, tgt, ti, w = batch_size_handling(src_list, tgt_list)
+    # pads stay inside the real cloud's bounding box
+    assert float(jnp.max(jnp.abs(tgt))) <= float(np.abs(base).max()) + 1e-6
+
+    cfg = ICPConfig(icp_type="pt2pt", differentiable=False,
+                    max_iterations=30, tolerance=1e-10, dim=3,
+                    trim_dist=2.0, loss_name="huber", loss_metric=1.0,
+                    nn_method="cluster")
+    res_b = register_jit(src, tgt, jnp.broadcast_to(jnp.eye(4), (2, 4, 4)),
+                         w, cfg=cfg)
+    cfg_d = cfg.with_(nn_method="dense")
+    for i, (s, t) in enumerate(zip(src_list, tgt_list)):
+        ref = register_jit(s[None], t[None], jnp.eye(4)[None], None,
+                           cfg=cfg_d)
+        np.testing.assert_allclose(np.asarray(res_b.T[i]),
+                                   np.asarray(ref.T[0]), atol=1e-8)
+
+
+def test_soft_nn_pad_keeps_sentinel():
+    """Gumbel mode keeps the far sentinel: duplicated pad rows would get
+    softmax probability mass and shift the convex-combination neighbor."""
+    from dicp_tpu.api import batch_size_handling
+
+    rng = np.random.default_rng(6)
+    tgt_list = [jnp.asarray(rng.uniform(-1, 1, (50, 3))),
+                jnp.asarray(rng.uniform(-1, 1, (30, 3)))]
+    src_list = [jnp.asarray(rng.uniform(-1, 1, (40, 3)))] * 2
+    _, tgt, _, _ = batch_size_handling(src_list, tgt_list, soft_nn=True)
+    assert float(jnp.max(jnp.abs(tgt[1, 30:]))) > 100.0
+
+
+def test_icp_nn_poke_changes_solve(test_pair):
+    """Reference idiom: mutating ``icp.nn.tau``/``icp.nn.use_gumbel`` must
+    change the next solve — the reference loop reads self.nn live
+    (dICP/ICP.py:44); code-review r3 found the poke was silently ignored."""
+    source_np, target_np = test_pair
+    key = jax.random.PRNGKey(0)
+    mk = lambda: ICP(icp_type="pt2pl", differentiable=True,
+                     max_iterations=5, tolerance=1e-10, use_gumbel=True)
+    s1, s2 = mk(), mk()
+    s2.nn.tau = 25.0          # hot softmax: neighbors become blends
+    args = dict(trim_dist=5.0, loss_fn={"name": "huber", "metric": 1.0},
+                dim=2, key=key)
+    r1 = s1.icp(jnp.asarray(source_np[:, :3]), jnp.asarray(target_np),
+                jnp.eye(4), **args)
+    r2 = s2.icp(jnp.asarray(source_np[:, :3]), jnp.asarray(target_np),
+                jnp.eye(4), **args)
+    assert float(jnp.max(jnp.abs(r1["T"] - r2["T"]))) > 1e-6
