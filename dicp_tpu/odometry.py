@@ -63,7 +63,11 @@ def odometry(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
     """
     S = scans.shape[0]
     dtype = scans.dtype
-    source = scans[1:, :, :3]
+    # symmetric ICP reads source normals — keep 6 columns for it
+    # (code-review r3: the unconditional :3 slice made icp_type='symmetric'
+    # unusable through every odometry entry point)
+    src_cols = 6 if cfg.icp_type == "symmetric" else 3
+    source = scans[1:, :, :src_cols]
     target = scans[:-1]
     if rel_init is None:
         rel_init = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (S - 1, 4, 4))
@@ -206,7 +210,8 @@ def odometry_pose_graph(scans: jnp.ndarray, cfg: ICPConfig = ICPConfig(),
         li, lj = loop_closures
         # register_jit: the eager path re-traces the whole solve per call
         # (~300x slower through the remote runtime)
-        res = register_jit(scans[lj][:, :, :3], scans[li],
+        src_cols = 6 if cfg.icp_type == "symmetric" else 3
+        res = register_jit(scans[lj][:, :, :src_cols], scans[li],
                            jnp.broadcast_to(jnp.eye(4, dtype=scans.dtype),
                                             (li.shape[0], 4, 4)), None, cfg=cfg)
         edges_i = jnp.concatenate([edges_i, li.astype(jnp.int32)])
@@ -258,7 +263,8 @@ def resumable_odometry(
     while done < n_pairs:
         hi = min(done + chunk, n_pairs)
         # sources are scans[done+1 : hi+1], targets scans[done : hi]
-        res = register_jit(scans[done + 1:hi + 1, :, :3], scans[done:hi],
+        src_cols = 6 if cfg.icp_type == "symmetric" else 3
+        res = register_jit(scans[done + 1:hi + 1, :, :src_cols], scans[done:hi],
                            jnp.broadcast_to(jnp.eye(4, dtype=scans.dtype),
                                             (hi - done, 4, 4)), None, cfg=cfg)
         rels[done:hi] = np.asarray(res.T)

@@ -42,6 +42,14 @@ def smallest_eigvec_sym3(a: jnp.ndarray) -> jnp.ndarray:
     +z — the caller cannot recover a meaningful normal there anyway.
     """
     dtype = a.dtype
+    # Normalize by the matrix scale FIRST: eigenvectors are scale-invariant
+    # but the degeneracy guards below are not — vnorm is quartic in the
+    # covariance scale while eps*(1+|q|) is ~constant, so without this a
+    # perfectly valid small-extent neighborhood (cov ~ cm^2 in meters, f32)
+    # tripped the guard and every normal collapsed to +z (code-review r3).
+    scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-2, -1)),
+                        jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    a = a / scale[..., None, None]
     q = (a[..., 0, 0] + a[..., 1, 1] + a[..., 2, 2]) / 3.0
     a01, a02, a12 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
     p1 = a01 * a01 + a02 * a02 + a12 * a12

@@ -20,6 +20,7 @@ parallelism concepts across a pod slice:
 
 from __future__ import annotations
 
+import functools
 
 from typing import NamedTuple, Optional, Tuple
 
@@ -130,8 +131,30 @@ def ring_nn(x: jnp.ndarray, y_shard: jnp.ndarray, axis: str) -> jnp.ndarray:
     return best_row
 
 
+def _preshard(cfg: ICPConfig, source, target, weight):
+    """Mirror registration._preprocess's input semantics for the sharded
+    wrappers (code-review r3: the sharded solve skipped them and diverged
+    from register() on dim=2 / zero-pad inputs): pt2pl normal requirement,
+    pt2pt normal strip, dim-2 z zeroing (dICP/ICP.py:107-116), and the
+    source_zeroes_are_pad weight rule (dICP/ICP.py:445-446)."""
+    if cfg.icp_type == "pt2pl" and target.shape[-1] != 6:
+        raise ValueError("pt2pl requires target normals: (m, 6)")
+    if cfg.icp_type == "pt2pt":
+        target = target[..., :3]
+    if cfg.dim == 2:
+        zmask = jnp.array([1.0, 1.0, 0.0], dtype=source.dtype)
+        zmask6 = jnp.concatenate([zmask, zmask])
+        source = source * (zmask6 if source.shape[-1] == 6 else zmask)
+        target = target * (zmask6 if target.shape[-1] == 6 else zmask)
+    if cfg.source_zeroes_are_pad:
+        weight = weight * (jnp.linalg.norm(source[..., :3], axis=-1)
+                           != 0.0).astype(source.dtype)
+    return source, target, weight
+
+
 def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init,
-                      target_sharded: bool = False, axis: str = "map"):
+                      target_sharded: bool = False, axis: str = "map",
+                      n_real: Optional[int] = None):
     """Per-device body under shard_map: source points sharded over 'map'.
 
     Runs the full Gauss-Newton iteration with the only cross-device traffic
@@ -152,13 +175,26 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
     else:
         method = cfg.resolved_nn_method(source_shard.shape[0], target.shape[0],
                                         jax.default_backend() == "cpu")
+    if method == "pallas":
+        # The brute-force Pallas kernel inside a shard_map body is the same
+        # unvalidated-on-chip combination the cluster branch pins away from
+        # (code-review r3); the XLA dense path is safe and the (n/K, m)
+        # distance tile is K x smaller per device anyway.
+        method = "dense"
     if method == "cluster":
         # index over the replicated target, built ONCE per device outside
         # the GN loop (identical on every device — pure local compute, no
-        # collectives); each device then queries only its source shard
-        from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+        # collectives); each device then queries only its source shard.
+        # The query curve-order is also computed ONCE, at the T_init pose:
+        # rigid motion preserves neighborhood structure exactly
+        # (registration._make_corr_fn), so recomputing the argsort every GN
+        # iteration would be pure waste.
+        from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
+                                              query_order)
 
         cl_index = build_cluster_index(tgt_pts, cfg.cluster_group)
+        ps0 = src_pts @ C0.T + r0
+        qord = query_order(cl_index, lax.stop_gradient(ps0))
 
     def gn_iteration(C, r):
         cp = src_pts @ C.T
@@ -173,6 +209,7 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
             idx, _, cert = cluster_nn(cl_index, ps_t,
                                       probes=cfg.cluster_probes,
                                       use_pallas=False, fused=False,
+                                      order=qord,
                                       fixup=cfg.resolved_cluster_fixup(
                                           source_shard.shape[0]))
             nn6 = jnp.take(target, idx, axis=0)
@@ -250,9 +287,26 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
             # and the guard selects after the psum.
             ne_g = _ne(w * valid)
             ne_f = _ne(w)
+            if n_real is not None:
+                # exclude the wrapper's synthetic zero-weight pads from the
+                # fraction (numerator AND denominator): their certificates
+                # are arbitrary and could flip the gate vs the unsharded
+                # solve near the threshold (code-review r3).  Comparison
+                # base is per-POINT even after the pt2pt x3 repeat.
+                rep = valid.shape[0] // src_pts.shape[0]
+                n_loc_pts = src_pts.shape[0]
+                gidx = (lax.axis_index(axis) * n_loc_pts
+                        + jnp.arange(n_loc_pts))
+                real = (gidx < n_real).astype(valid.dtype)
+                cnt_local = jnp.sum(valid[::rep] * real)
+                denom = float(n_real)
+            else:
+                cnt_local = jnp.sum(valid) / (valid.shape[0]
+                                              // src_pts.shape[0])
+                denom = src_pts.shape[0] * lax.axis_size(axis)
             (A_g, b_g, c_g), (A_f, b_f, c_f), cnt = lax.psum(
-                (ne_g, ne_f, jnp.sum(valid)), axis)
-            frac = cnt / (valid.shape[0] * lax.axis_size(axis))
+                (ne_g, ne_f, cnt_local), axis)
+            frac = cnt / denom
             use = frac >= 0.5
             A = jnp.where(use, A_g, A_f)
             b = jnp.where(use, b_g, b_f)
@@ -340,28 +394,39 @@ def register_map_sharded(
         T_init = jnp.eye(4, dtype=dtype)
     if weight is None:
         weight = jnp.ones((n,), dtype=dtype)
+    source, target, weight = _preshard(cfg, source, target, weight)
     pad = (-n) % n_dev
     if pad:
         source = jnp.concatenate(
             [source, jnp.zeros((pad, source.shape[1]), dtype=dtype)])
         weight = jnp.concatenate([weight, jnp.zeros((pad,), dtype=dtype)])
 
-    fn = map_sharded_fn(mesh, cfg, axis=axis, target_sharded=False)
+    fn = map_sharded_fn(mesh, cfg, axis=axis, target_sharded=False,
+                        n_real=n if pad else None)
     T, done, it, cost = fn(source[:, :src_cols], weight, target, T_init)
     return MapShardedResult(T=T, converged=done, iterations=it, cost=cost)
 
 
+@functools.lru_cache(maxsize=64)
 def map_sharded_fn(mesh: Mesh, cfg: ICPConfig, axis: str = "map",
-                   target_sharded: bool = False):
+                   target_sharded: bool = False,
+                   n_real: Optional[int] = None):
     """The jitted SPMD callable behind :func:`register_map_sharded` /
     :func:`register_ring_sharded` — exposed so tests can ``.lower()`` it and
-    pin the compiled collective counts (BENCH.md's scaling claims)."""
+    pin the compiled collective counts (BENCH.md's scaling claims).
+
+    lru_cached on the hashable key (mesh, cfg, axis, target_sharded,
+    n_real): without it every call built a fresh closure and a fresh
+    jax.jit wrapper, so JAX's executable cache (keyed on function identity)
+    missed on every scan of an odometry loop — seconds of recompilation per
+    call (code-review r3)."""
     def body(src_s, w_s, tgt, t_init):
         # pin MXU precision: the per-shard distance/Jacobian matmuls run
         # outside register()'s pinned scope
         with jax.default_matmul_precision("float32"):
             return _map_sharded_body(cfg, src_s, w_s, tgt, t_init,
-                                     target_sharded=target_sharded, axis=axis)
+                                     target_sharded=target_sharded, axis=axis,
+                                     n_real=n_real)
 
     tgt_spec = P(axis) if target_sharded else P()
     return jax.jit(jax.shard_map(
@@ -410,6 +475,7 @@ def register_ring_sharded(
         T_init = jnp.eye(4, dtype=dtype)
     if weight is None:
         weight = jnp.ones((n,), dtype=dtype)
+    source, target, weight = _preshard(cfg, source, target, weight)
     pad_n = (-n) % n_dev
     if pad_n:
         source = jnp.concatenate(

@@ -114,3 +114,23 @@ def test_weighted_normals_curved_surface():
     nb = np.asarray(estimate_normals(batch, method="weighted"))
     assert nb.shape == (2, n, 3)
     np.testing.assert_allclose(nb[0], nb[1], atol=1e-12)
+
+
+def test_eigvec_scale_invariant():
+    """Covariance scale must not trip the degeneracy guard: f32 cm-scale
+    neighborhoods in meter coordinates previously collapsed every normal to
+    the +z fallback (code-review r3: vnorm is quartic in scale, the old
+    threshold was ~constant)."""
+    from dicp_tpu.ops.normals import smallest_eigvec_sym3
+
+    rng = np.random.default_rng(0)
+    n_true = np.array([0.0, 1.0, 1.0]) / np.sqrt(2)
+    basis = np.linalg.svd(np.eye(3) - np.outer(n_true, n_true))[0][:, :2]
+    for r in (0.002, 0.03, 5.0):
+        uv = rng.uniform(-r, r, (64, 2)).astype(np.float32)
+        pts = (uv @ basis.T).astype(np.float32)
+        c = pts - pts.mean(0)
+        cov = jnp.asarray((c.T @ c / 64).astype(np.float32))
+        v = np.asarray(smallest_eigvec_sym3(cov))
+        err = np.degrees(np.arccos(min(1.0, abs(float(v @ n_true)))))
+        assert err < 1.0, (r, err)

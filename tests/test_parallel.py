@@ -338,3 +338,29 @@ def test_multihost_single_process_fallbacks():
 
     with pytest.raises(ValueError, match="divide"):
         make_pod_mesh(map_per_host=3)
+
+
+def test_map_sharded_dim2_matches_dense(source_np, target_np):
+    """dim=2 z-zeroing must apply in the sharded wrapper too (code-review
+    r3: _map_sharded_body skipped registration._preprocess's input
+    semantics, so noisy-z planar scans solved to a different pose than
+    register())."""
+    from dicp_tpu.parallel import make_mesh, register_map_sharded
+    from dicp_tpu.registration import register_jit
+
+    rng = np.random.default_rng(2)
+    src = np.asarray(source_np[:, :3]).copy()
+    src[:, 2] = rng.normal(scale=0.05, size=src.shape[0])   # z noise
+    tgt = np.asarray(target_np).copy()
+    tgt[:, 2] = rng.normal(scale=0.05, size=tgt.shape[0])
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, driver="while",
+                    max_iterations=50, tolerance=1e-12, dim=2,
+                    trim_dist=5.0, loss_name="huber", loss_metric=1.0,
+                    nn_method="dense")
+    mesh = make_mesh((1, 8))
+    res = register_map_sharded(mesh, jnp.asarray(src), jnp.asarray(tgt),
+                               cfg=cfg)
+    ref = register_jit(jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                       jnp.eye(4)[None], None, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(res.T), np.asarray(ref.T[0]),
+                               atol=1e-9)
