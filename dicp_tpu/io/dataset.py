@@ -98,7 +98,9 @@ class ScanDataset:
         with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending = []
             it = iter(self.paths)
-            for _ in range(min(self.prefetch, len(self.paths))):
+            # at least one future, or prefetch=0 would yield NOTHING (the
+            # while-pending loop never starts; code-review r3)
+            for _ in range(min(max(self.prefetch, 1), len(self.paths))):
                 pending.append(pool.submit(self._load, next(it)))
             while pending:
                 fut = pending.pop(0)

@@ -76,8 +76,11 @@ def load_bin(path: str, stride: int = 4, max_points: int = 1 << 22) -> np.ndarra
     """Read a KITTI-style .bin scan -> (n, stride) float32 (x, y, z first)."""
     lib = _load_lib()
     if lib is None:
+        # mirror the native path's semantics exactly (code-review r3):
+        # silently drop a trailing partial record, cap at max_points
         data = np.fromfile(path, dtype=np.float32)
-        return data.reshape(-1, stride)
+        n = data.size // stride
+        return data[:n * stride].reshape(n, stride)[:max_points]
     out = np.empty((max_points, stride), np.float32)
     n = lib.pc_load_bin(path.encode(), _fptr(out), max_points, stride)
     if n < 0:
@@ -130,8 +133,11 @@ def voxel_downsample_host(points: np.ndarray, voxel: float,
             raise ValueError("voxel_downsample: bad arguments")
         return (out[:m].copy(), w[:m].copy()) if return_weight else out[:m].copy()
 
-    # NumPy fallback: identical semantics
-    cells = np.floor(pts[:, :3] / voxel).astype(np.int64) & 0x1FFFFF
+    # NumPy fallback: identical semantics — cell indices in DOUBLE like the
+    # native path (floor(p * (double)(1/voxel))); f32 division puts boundary
+    # points in different cells than the C++ build (code-review r3)
+    cells = np.floor(pts[:, :3].astype(np.float64)
+                     * (np.float64(1.0) / voxel)).astype(np.int64) & 0x1FFFFF
     key = (cells[:, 0] << 42) | (cells[:, 1] << 21) | cells[:, 2]
     uniq, first, inv, counts = np.unique(key, return_index=True,
                                          return_inverse=True, return_counts=True)

@@ -44,7 +44,12 @@ def huber_weight(err: jnp.ndarray, metric: float, differentiable: bool = True) -
         m2 = metric * metric
         return m2 / (m2 + jnp.sum(err * err, axis=-1))
     err_norm = _err_norm(err)
-    return jnp.where(err_norm > metric, metric / err_norm, jnp.ones_like(err_norm))
+    # safe denominator: differentiating metric/err_norm at err_norm == 0
+    # through jnp.where gives 0 * inf = NaN (exact-zero residuals are real
+    # on the test clouds — the trap _err_norm exists for; code-review r3)
+    safe = jnp.where(err_norm > metric, err_norm, jnp.ones_like(err_norm))
+    return jnp.where(err_norm > metric, metric / safe,
+                     jnp.ones_like(err_norm))
 
 
 def cauchy_weight(err: jnp.ndarray, metric: float, differentiable: bool = True) -> jnp.ndarray:

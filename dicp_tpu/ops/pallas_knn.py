@@ -135,14 +135,7 @@ def nn_indices_pallas(x: jnp.ndarray, y: jnp.ndarray,
     Batch dims are vmapped over the 2-D kernel.  ``interpret=None`` auto
     selects interpreter mode off-TPU (for CPU tests).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    fn = functools.partial(_nn_pallas_2d, tq=tq, tm=tm, interpret=interpret)
-    batch_shape = x.shape[:-2]
-    for _ in batch_shape:
-        fn = jax.vmap(fn)
-    idx, _ = fn(x[..., :3], y[..., :3])
-    return idx
+    return nn_distances_pallas(x, y, tq=tq, tm=tm, interpret=interpret)[0]
 
 
 def nn_distances_pallas(x: jnp.ndarray, y: jnp.ndarray,

@@ -50,8 +50,13 @@ def voxel_downsample(points: jnp.ndarray, voxel_size: float,
     seg_idx = jnp.cumsum(new_seg) - 1          # (n,) segment id per point
     num_seg = seg_idx[-1] + 1
 
-    sums = jax.ops.segment_sum(pts_s, seg_idx, num_segments=n)
-    counts = jax.ops.segment_sum(jnp.ones((n,), dtype), seg_idx, num_segments=n)
+    # one pass for sums AND counts (ones column), with the sorted-segment
+    # guarantee communicated to XLA — seg_idx is a cumsum over lexsorted
+    # cells, so the general scatter-add lowering is pure waste
+    aug = jnp.concatenate([pts_s, jnp.ones((n, 1), dtype)], axis=1)
+    agg = jax.ops.segment_sum(aug, seg_idx, num_segments=n,
+                              indices_are_sorted=True)
+    sums, counts = agg[:, :-1], agg[:, -1]
     centroids = sums / jnp.where(counts[:, None] == 0, 1.0, counts[:, None])
 
     valid = jnp.arange(n) < num_seg

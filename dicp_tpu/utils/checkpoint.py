@@ -26,6 +26,14 @@ def save_odometry_state(path: str, poses, rel_transforms=None,
     if rel_transforms is not None:
         arrays["rel_transforms"] = np.asarray(rel_transforms)
     if edges_i is not None:
+        if edges_j is None or t_meas is None or info is None:
+            # np.asarray(None) is a pickled OBJECT array: np.savez accepts
+            # it, the atomic replace destroys the previous good checkpoint,
+            # and load (allow_pickle=False) then raises — fail BEFORE
+            # writing instead (code-review r3).
+            raise ValueError("edges_i requires edges_j, t_meas and info "
+                             "(got None) — refusing to write an unloadable "
+                             "checkpoint")
         arrays["edges_i"] = np.asarray(edges_i)
         arrays["edges_j"] = np.asarray(edges_j)
         arrays["t_meas"] = np.asarray(t_meas)

@@ -57,6 +57,12 @@ def benchmark(fn: Callable, n: int = 10, warmup: int = 1,
             "dispatch).  Use dicp_tpu.utils.timing.chained_rate (chained "
             "lax.scan + host fetch + overhead differencing), or pass "
             "force_wallclock=True to measure the client anyway.")
+    if warmup < 1:
+        # warmup=0 would fold XLA compilation into the first timed
+        # iteration while reporting compile_s ~ 0 — silently wrong in a
+        # module whose purpose is truthful timing (code-review r3)
+        raise ValueError("benchmark() needs warmup >= 1: the first call "
+                         "pays compilation and must not be timed")
     t0 = time.perf_counter()
     for _ in range(warmup):
         _block(fn())

@@ -121,3 +121,13 @@ def test_redescending_losses_solve(source_np, target_np):
         err = float(jnp.linalg.norm(se3.tran2vec(
             se3.compose(t_true, se3.tran_inv(res.T[0])))))
         assert err < 1e-9, f"{name}: err {err}"
+
+
+def test_huber_nondiff_grad_at_zero_residual():
+    """grad of the non-diff huber weight at EXACT-zero residuals must be
+    finite: the jnp.where trap (0 * inf = NaN via metric/err_norm at 0)
+    poisoned gradients on converged correspondences (code-review r3)."""
+    err = jnp.zeros((4, 3))
+    g = jax.grad(lambda e: jnp.sum(
+        losses.huber_weight(e, 1.0, differentiable=False)))(err)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -122,3 +122,15 @@ def test_float32_small_angles():
     J = se3.left_jacobian(phi)[0]
     J64 = se3.left_jacobian(jnp.asarray(phi, jnp.float64))[0]
     np.testing.assert_allclose(np.asarray(J), np.asarray(J64), atol=1e-6)
+
+
+def test_log_so3_small_angle_series_accuracy():
+    """The small-branch series is an expansion in sin^2(theta): coefficient
+    27/720 (3/80), not the theta^2-expansion's 7/720 — the wrong constant
+    cost ~2 digits near the branch switch (code-review r3)."""
+    for th in (0.02, 0.06, 0.0999):
+        axis = np.array([0.36, -0.48, 0.8])
+        phi = th * axis
+        R = se3.exp_so3(jnp.asarray(phi))
+        back = np.asarray(se3.log_so3(R))
+        assert np.linalg.norm(back - phi) / th < 5e-8, (th, back)
