@@ -257,3 +257,31 @@ def test_ift_cluster_backend(planes_scene):
         s, tgt, ti, None, base.with_(nn_method="cluster",
                                      cluster_group=64)).T))(src)
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d), atol=1e-10)
+
+
+def test_ift_with_fused_forward(test_pair):
+    """IFT gradients with the fused whole-solve kernel as the forward (the
+    headline serving-grad combination once the on-chip A/B flips the auto
+    gate): value and gradient must match the XLA-forward IFT closely (the
+    two forwards' fixed points agree to ~f32 resolution)."""
+    source_np, target_np = test_pair
+    src = jnp.asarray(source_np[:, :3], jnp.float32)[None]
+    tgt = jnp.asarray(target_np, jnp.float32)[None]
+    ti = jnp.eye(4, dtype=jnp.float32)[None]
+    base = ICPConfig(icp_type="pt2pl", differentiable=True,
+                     max_iterations=80, tolerance=1e-6, dim=2,
+                     trim_dist=5.0, loss_name="huber", loss_metric=1.0,
+                     collect_histories=False, nn_method="dense")
+
+    outs = {}
+    for fused in (False, True):
+        cfg = base.with_(fused_small=fused)
+        val, g = jax.value_and_grad(
+            lambda s: jnp.sum(register_ift(s, tgt, ti, None, cfg).T))(src)
+        outs[fused] = (float(val), np.asarray(g))
+    v0, g0 = outs[False]
+    v1, g1 = outs[True]
+    assert abs(v0 - v1) < 1e-4 * max(1.0, abs(v0))
+    cos = float(np.sum(g0 * g1) /
+                (np.linalg.norm(g0) * np.linalg.norm(g1)))
+    assert cos > 0.9999, cos
