@@ -15,25 +15,25 @@ if "xla_force_host_platform_device_count" not in flags:
 # remote compilation); the config update below overrides it reliably.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-import tempfile  # noqa: E402
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite is compile-bound (hundreds of
-# distinct jitted programs, some with 8-device SPMD partitioning) — cached
-# re-runs cut wall time by an order of magnitude.  Keyed by HLO hash, so
-# stale entries are impossible; fresh environments just compile once.
-_cache = os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(tempfile.gettempdir(), "dicp_tpu_jax_cache"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:
-    pass  # older jax without the persistent-cache options
+# Persistent compilation cache: opt-in ONLY (export
+# JAX_COMPILATION_CACHE_DIR to enable).  It cut cached re-runs ~2.7x on
+# this compile-bound suite, but concurrent pytest runs sharing one cache
+# dir produced a corrupted entry whose READ segfaulted the whole process
+# (jax compilation_cache.get_executable_and_time via zstd) — and the bad
+# entry persists, making later runs crash deterministically.  Not worth a
+# segfaulting suite by default.
+_cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cache:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without the persistent-cache options
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
