@@ -117,4 +117,24 @@ def main():
 
 
 if __name__ == "__main__":
+    # Watchdog: the remote TPU runtime can hang indefinitely when its tunnel
+    # is down (backend init blocks in C with no timeout of its own).  Fail
+    # loudly instead of wedging the caller.  A daemon timer thread + os._exit
+    # rather than SIGALRM: the hang sits inside a C call on the main thread,
+    # so a Python signal handler would never get to run (verified during an
+    # actual tunnel outage).  Override via BENCH_TIMEOUT_S; the budget covers
+    # first-compile congestion windows (~2-3 min typical, 153 s observed).
+    import threading
+
+    def _watchdog():
+        sys.stderr.write("bench.py: watchdog expired — backend unreachable "
+                         "or compile stalled (tunnel down?)\n")
+        sys.stderr.flush()
+        os._exit(2)
+
+    _timer = threading.Timer(float(os.environ.get("BENCH_TIMEOUT_S", "570")),
+                             _watchdog)
+    _timer.daemon = True
+    _timer.start()
     main()
+    _timer.cancel()

@@ -251,9 +251,26 @@ def pose_graph_optimize_partitioned(
                   P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
     ))
-    return fn(poses,
-              jnp.asarray(t_meas_p, dtype), jnp.asarray(info_p, dtype),
-              jnp.asarray(part.int_ids), jnp.asarray(part.eg_i),
-              jnp.asarray(part.eg_j), jnp.asarray(part.loc_i),
-              jnp.asarray(part.loc_j), jnp.asarray(part.e_valid, dtype),
-              jnp.asarray(gauge_mask, dtype))
+
+    if jax.process_count() > 1:
+        # Multi-host: committed process-local arrays cannot feed a sharding
+        # that spans non-addressable devices.  The graph structure is
+        # host-known and identical on every process (it must be — the
+        # partition above is deterministic), so assemble global jax.Arrays
+        # from the full host copy: each process materializes only the
+        # shards it can address.
+        def put(x, spec, dt=None):
+            arr = np.asarray(x, dt)
+            sh = jax.NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx: arr[idx])
+    else:
+        def put(x, spec, dt=None):
+            return jnp.asarray(x, dt)
+
+    return fn(put(poses, P()),
+              put(t_meas_p, P(axis), dtype), put(info_p, P(axis), dtype),
+              put(part.int_ids, P(axis)), put(part.eg_i, P(axis)),
+              put(part.eg_j, P(axis)), put(part.loc_i, P(axis)),
+              put(part.loc_j, P(axis)), put(part.e_valid, P(axis), dtype),
+              put(gauge_mask, P(axis), dtype))

@@ -38,12 +38,69 @@ from dicp_tpu.parallel.multihost import (host_local_batch,  # noqa: E402
                                          make_pod_mesh, process_local_slice)
 
 
+def main_posegraph(pid: int):
+    """Multi-host pose-graph odometry (BASELINE north star): keyframes
+    partitioned over the DCN (``batch``) axis of the pod mesh, so the
+    Schur-reduced separator psum crosses the process boundary (gloo).
+    Checks exact agreement with the single-device dense back-end plus an
+    ATE bound against the ground-truth trajectory."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.odometry import (PoseGraph, ate, pose_graph_optimize)
+    from dicp_tpu.parallel.multihost import make_pod_mesh
+    from dicp_tpu.parallel.pose_graph import pose_graph_optimize_partitioned
+
+    # deterministic noisy chain + one loop closure — identical on every host
+    rng = np.random.default_rng(3)
+    V = 16
+    xi_steps = rng.normal(scale=0.1, size=(V - 1, 6))
+    poses_true = [np.eye(4)]
+    for k in range(V - 1):
+        poses_true.append(poses_true[-1]
+                          @ np.asarray(se3.vec2tran(jnp.asarray(xi_steps[k]))))
+    poses_true = np.stack(poses_true)
+    edges_i = [*range(V - 1), 2]
+    edges_j = [*range(1, V), 13]
+    t_meas = np.stack([np.linalg.solve(poses_true[i], poses_true[j])
+                       for i, j in zip(edges_i, edges_j)])
+    graph = PoseGraph(jnp.asarray(edges_i, jnp.int32),
+                      jnp.asarray(edges_j, jnp.int32),
+                      jnp.asarray(t_meas), jnp.ones((len(edges_i),)))
+    noise = rng.normal(scale=0.05, size=(V, 6))
+    noise[0] = 0.0
+    poses_init = poses_true @ np.asarray(
+        jax.vmap(se3.vec2tran)(jnp.asarray(noise)))
+
+    mesh = make_pod_mesh(map_per_host=2)          # (batch=4, map=2)
+    # the partition axis must span hosts: batch rows 0-1 are process 0,
+    # rows 2-3 process 1 (asserted in main_batch) — the separator-system
+    # psum therefore rides DCN
+    procs_on_axis = {d.process_index for d in np.asarray(mesh.devices)[:, 0]}
+    assert len(procs_on_axis) == 2, "partition axis does not cross hosts"
+
+    part = pose_graph_optimize_partitioned(poses_init, graph, mesh,
+                                           iterations=8, axis="batch")
+    jax.block_until_ready(part)
+
+    dense, _ = pose_graph_optimize(jnp.asarray(poses_init), graph,
+                                   iterations=8)
+    assert np.allclose(np.asarray(part), np.asarray(dense), atol=1e-6), \
+        np.abs(np.asarray(part) - np.asarray(dense)).max()
+    err = float(ate(jnp.asarray(np.asarray(part)), jnp.asarray(poses_true)))
+    assert err < 1e-5, f"multi-host ATE {err}"
+    print(f"worker{pid}: PASS", flush=True)
+
+
 def main():
     pid = int(os.environ["JAX_PROCESS_ID"])
     assert initialize_distributed(), "distributed init resolved single-process"
     assert jax.process_count() == 2, jax.process_count()
     assert jax.local_device_count() == 4
     assert len(jax.devices()) == 8
+
+    if os.environ.get("DICP_MP_MODE") == "posegraph":
+        return main_posegraph(pid)
 
     import jax.numpy as jnp
 

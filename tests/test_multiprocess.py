@@ -29,7 +29,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_batch_sharded_registration():
+@pytest.mark.parametrize("mode", ["batch", "posegraph"])
+def test_two_process_batch_sharded_registration(mode):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_mp_worker.py")
     port = _free_port()
@@ -38,7 +39,8 @@ def test_two_process_batch_sharded_registration():
         env = dict(os.environ,
                    JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
                    JAX_NUM_PROCESSES="2",
-                   JAX_PROCESS_ID=str(pid))
+                   JAX_PROCESS_ID=str(pid),
+                   DICP_MP_MODE=mode)
         # the worker pins its own XLA_FLAGS / JAX_PLATFORMS before jax import
         procs.append(subprocess.Popen(
             [sys.executable, worker], env=env,
