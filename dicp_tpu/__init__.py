@@ -23,6 +23,7 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
   call surface and ragged-input handling.
 """
 
+from dicp_tpu.anderson import register_anderson, register_anderson_jit
 from dicp_tpu.api import ICP, batch_size_handling
 from dicp_tpu.config import ICPConfig, config_from_yaml
 from dicp_tpu.ift import register_ift, register_ift_jit
@@ -49,6 +50,8 @@ __all__ = [
     "estimate_normals_weighted",
     "pt2pt_svd_icp",
     "register",
+    "register_anderson",
+    "register_anderson_jit",
     "register_ift",
     "register_ift_jit",
     "register_jit",
