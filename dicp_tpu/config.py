@@ -110,6 +110,14 @@ class ICPConfig:
     # generic batched LU (the reference's torch.linalg.inv analogue).
     solve_method: str = "closed"  # 'closed' | 'lu'
     scan_unroll: int = 1  # lax.scan unroll factor for the diff driver
+    # Anderson acceleration (dicp_tpu.anderson): > 0 enables type-II AA
+    # mixing over the last anderson_m iterates in the inference/IFT-forward
+    # while driver.  Measured: pt2pt 25 -> 10 iterations on the reference
+    # pair; pt2pl (near-quadratic) pays 1-3 extra evaluations — enable for
+    # slow-converging configs.  Requires collect_histories=False (the AA
+    # iterate sequence has no reference-contract history semantics).
+    anderson_m: int = 0
+    anderson_cap: float = 5.0
 
     def __post_init__(self):
         if self.icp_type not in ("pt2pt", "pt2pl", "symmetric"):
@@ -132,6 +140,19 @@ class ICPConfig:
                              f"got {self.nn_method}")
         if self.solve_method not in ("closed", "lu"):
             raise ValueError(f"solve_method must be closed|lu, got {self.solve_method}")
+        if self.anderson_m < 0:
+            raise ValueError(f"anderson_m must be >= 0, got {self.anderson_m}")
+        if self.anderson_m > 0 and self.collect_histories:
+            raise ValueError("anderson_m > 0 requires collect_histories="
+                             "False: the accelerated iterate sequence has no "
+                             "reference-contract per-iteration histories")
+        if self.anderson_m > 0 and self.const_iter:
+            raise ValueError("anderson_m > 0 is an early-exit acceleration; "
+                             "const_iter (fixed trip count) contradicts it")
+        if self.anderson_m > 0 and self.use_gumbel and self.differentiable:
+            raise ValueError("anderson_m > 0 requires a deterministic "
+                             "correspondence backend (Gumbel soft-NN "
+                             "resamples every evaluation)")
 
     def resolved_driver(self) -> str:
         if self.driver != "auto":

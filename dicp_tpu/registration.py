@@ -643,6 +643,17 @@ def _chunked_over_batch(call, chunk, source, target, T_init, weight, key):
 
 
 def _register_impl(source, target, T_init, weight, cfg, key):
+    if cfg.anderson_m > 0:
+        # Anderson-accelerated fixed-point driver (dicp_tpu.anderson); does
+        # its own preprocessing.  Reverse-mode AD cannot flow through it
+        # (while_loop) — differentiable=True is still meaningful: it selects
+        # the smooth weight forms whose fixed point the IFT backward
+        # linearizes (see ift._fixed_point_res).
+        from dicp_tpu.anderson import _anderson_impl
+
+        return _anderson_impl(source, target, T_init, weight, cfg,
+                              cfg.anderson_m, 1e-8, cfg.anderson_cap)
+
     source, target, weight, C, r = _preprocess(cfg, source, target, T_init, weight)
 
     from dicp_tpu.ops.fused_gn import fused_eligible, fused_gn_solve

@@ -119,6 +119,55 @@ def test_differentiable_cfg_rejected(pair):
         register_anderson_jit(src, tgt, ti, None, cfg=cfg)
 
 
+def test_ift_with_anderson_forward(pair):
+    """cfg.anderson_m routes the IFT *forward* through the AA driver: same
+    fixed point -> same implicit gradients, fewer forward iterations.  This
+    is the serving-grad combination for slow (pt2pt) configs."""
+    from dicp_tpu.ift import register_ift
+
+    src, tgt, ti = pair
+    base = ICPConfig(icp_type="pt2pt", differentiable=True, driver="while",
+                     max_iterations=100, tolerance=1e-10, dim=2,
+                     trim_dist=5.0, loss_name="huber", loss_metric=1.0,
+                     collect_histories=False)
+    aa_cfg = base.with_(anderson_m=4)
+
+    r_plain = register_ift(src, tgt, ti, None, base)
+    r_aa = register_ift(src, tgt, ti, None, aa_cfg)
+    np.testing.assert_allclose(np.asarray(r_aa.T), np.asarray(r_plain.T),
+                               atol=1e-9)
+    assert float(r_aa.iterations[0]) < float(r_plain.iterations[0])
+
+    g_plain = jax.grad(
+        lambda a: jnp.sum(register_ift(a, tgt, ti, None, base).T))(src)
+    g_aa = jax.grad(
+        lambda a: jnp.sum(register_ift(a, tgt, ti, None, aa_cfg).T))(src)
+    gp, ga = np.asarray(g_plain), np.asarray(g_aa)
+    assert np.all(np.isfinite(ga)) and np.abs(ga).max() > 0
+    np.testing.assert_allclose(ga, gp, rtol=1e-6, atol=1e-12)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="collect_histories"):
+        ICPConfig(anderson_m=4)          # default collect_histories=True
+    with pytest.raises(ValueError, match="const_iter"):
+        ICPConfig(anderson_m=4, collect_histories=False, const_iter=True)
+    with pytest.raises(ValueError, match=">= 0"):
+        ICPConfig(anderson_m=-1)
+
+
+def test_register_routes_anderson(pair):
+    """register() with cfg.anderson_m > 0 dispatches to the AA driver (the
+    public class/config path, not just the direct function)."""
+    src, tgt, ti = pair
+    cfg = _cfg("pt2pt").with_(anderson_m=4)
+    direct = register_anderson_jit(src, tgt, ti, None, cfg=_cfg("pt2pt"))
+    routed = register_jit(src, tgt, ti, None, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(routed.T), np.asarray(direct.T),
+                               atol=1e-12)
+    assert float(routed.iterations[0]) == float(direct.iterations[0])
+
+
 def test_weighted_and_stats(pair):
     """Prior weights flow through; stats dict fields populated."""
     src, tgt, ti = pair
