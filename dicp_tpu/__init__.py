@@ -27,6 +27,8 @@ from dicp_tpu.anderson import register_anderson, register_anderson_jit
 from dicp_tpu.api import ICP, batch_size_handling
 from dicp_tpu.config import ICPConfig, config_from_yaml
 from dicp_tpu.ift import register_ift, register_ift_jit
+from dicp_tpu.multiscale import (MultiscaleResult, ScaleLevel,
+                                 register_multiscale)
 from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_knn,
                                       cluster_nn, cluster_nn_verified)
 from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
@@ -49,7 +51,10 @@ __all__ = [
     "estimate_normals",
     "estimate_normals_weighted",
     "pt2pt_svd_icp",
+    "MultiscaleResult",
+    "ScaleLevel",
     "register",
+    "register_multiscale",
     "register_anderson",
     "register_anderson_jit",
     "register_ift",
