@@ -30,6 +30,8 @@ run tests_tpu    1200 python -m pytest tests_tpu/ -q
 run fused_gn     590 python benchmarks/exp_fused_gn.py
 run pipeline     590 python benchmarks/exp_pipeline.py full stream4 stream8
 run suite_large  590 python benchmarks/bench_suite.py large_cloud
+run multiscale   590 python benchmarks/exp_multiscale.py
+run gicp         590 python benchmarks/exp_gicp.py
 run suite_pipe   590 python benchmarks/bench_suite.py pipeline
 run suite_rest   590 python benchmarks/bench_suite.py svd_pair pt2pl_pair batch256 normals odometry
 run capacity     590 python benchmarks/bench_suite.py capacity

@@ -55,6 +55,9 @@ class ScaleLevel(NamedTuple):
     max_iterations: int = 20
     tolerance: float = 1e-6
     trim_dist: Optional[float] = None
+    # correspondence backend override: a coarse few-thousand-centroid level
+    # should not pay the cluster-index build the 100k final level needs
+    nn_method: Optional[str] = None
 
 
 class MultiscaleResult(NamedTuple):
@@ -175,10 +178,13 @@ def register_multiscale(
     result = None
     for li, lv in enumerate(levels):
         last = li == len(levels) - 1
+        over = {}
+        if lv.trim_dist is not None:
+            over["trim_dist"] = lv.trim_dist
+        if lv.nn_method is not None:
+            over["nn_method"] = lv.nn_method
         lcfg = cfg.with_(max_iterations=lv.max_iterations,
-                         tolerance=lv.tolerance,
-                         **({} if lv.trim_dist is None
-                            else {"trim_dist": lv.trim_dist}))
+                         tolerance=lv.tolerance, **over)
         if not last:
             lcfg = lcfg.with_(collect_histories=False)
         if lv.voxel_size > 0:

@@ -47,7 +47,8 @@ _CFG = ICPConfig(icp_type="pt2pl", differentiable=False, driver="while",
                  max_iterations=60, tolerance=1e-12, dim=3, trim_dist=20.0,
                  loss_name="cauchy", loss_metric=1.0,
                  collect_histories=False)
-_LEVELS = (ScaleLevel(1.0, 128, 128, 20, 1e-4, trim_dist=20.0),
+_LEVELS = (ScaleLevel(1.0, 128, 128, 20, 1e-4, trim_dist=20.0,
+                      nn_method="dense"),  # per-level backend override
            ScaleLevel(0.3, 384, 384, 20, 1e-6, trim_dist=20.0),
            ScaleLevel(0.0, 0, 0, 40, 1e-12))
 
