@@ -62,6 +62,18 @@ def main():
     _emit("gicp_b64", dt_g * 1e3, "ms/batch", registrations_per_s=B / dt_g,
           transform_err=err, iterations=float(res.iterations[0]))
 
+    # IFT fwd+bwd (the differentiable-serving combination)
+    from dicp_tpu.gicp import register_gicp_ift
+
+    def ift_step(s, tgt, ti):
+        g = jax.grad(lambda a: jnp.sum(register_gicp_ift(
+            a, tgt, ti, max_iterations=30, tolerance=1e-6).T))(s)
+        return jnp.sum(g)
+
+    dt_i = chained_rate(ift_step, S, Tg, Ti, k_small=2, k_big=6)
+    _emit("gicp_ift_fwdbwd_b64", dt_i * 1e3, "ms/batch",
+          registrations_per_s=B / dt_i)
+
     # identically-shaped pt2pt for the cost-ratio context
     cfg = ICPConfig(icp_type="pt2pt", differentiable=False, driver="while",
                     max_iterations=30, tolerance=1e-6, dim=3,

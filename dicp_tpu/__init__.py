@@ -26,7 +26,8 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
 from dicp_tpu.anderson import register_anderson, register_anderson_jit
 from dicp_tpu.api import ICP, batch_size_handling
 from dicp_tpu.config import ICPConfig, config_from_yaml
-from dicp_tpu.gicp import GICPResult, register_gicp, register_gicp_jit
+from dicp_tpu.gicp import (GICPResult, register_gicp, register_gicp_ift,
+                           register_gicp_jit)
 from dicp_tpu.ift import register_ift, register_ift_jit
 from dicp_tpu.multiscale import (MultiscaleResult, ScaleLevel,
                                  register_multiscale)
@@ -54,6 +55,7 @@ __all__ = [
     "pt2pt_svd_icp",
     "GICPResult",
     "register_gicp",
+    "register_gicp_ift",
     "register_gicp_jit",
     "MultiscaleResult",
     "ScaleLevel",

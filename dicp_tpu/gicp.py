@@ -201,3 +201,160 @@ register_gicp_jit = jax.jit(
     register_gicp,
     static_argnames=("epsilon", "trim_dist", "max_iterations", "tolerance",
                      "differentiable", "k_normals"))
+
+
+# ---------------------------------------------------------------------------
+# Implicit-function-theorem gradients (mirrors dicp_tpu.ift for the main
+# engine): the forward uses the cheap early-exit while driver; the backward
+# linearizes the stationarity G(xi) = sum_i w_i J_i^T M_i r_i evaluated at
+# the pose exp(xi) T* — the exact root condition of the solver's GN
+# iteration map (delta = 0  <=>  g = 0 with M evaluated at T*).  The full
+# xi-dependence of M (through the rotated source normals) is kept in the
+# linearization; correspondences and the hard trim gate are piecewise
+# constant and fixed at T* (hard-diff semantics, knn.py:68).
+# ---------------------------------------------------------------------------
+
+
+def _gicp_g_vec(xi, T_star, src, tgt, tgt_n, src_n, idx, w, epsilon):
+    """Stationarity 6-vector at pose exp(xi) . T* with FIXED matches idx.
+
+    The full xi-dependence is kept: p, r, AND M (through the rotated source
+    normals m = R n_s) all vary — this is the exact root condition of the
+    solver's iteration map, so its linearization is the right IFT system."""
+    T = se3.vec2tran(xi) @ T_star
+    R, t = T[:3, :3], T[:3, 3]
+    p = src @ R.T + t
+    r = p - tgt[idx]
+    nt = tgt_n[idx]
+    m = src_n @ R.T
+    eye = jnp.eye(3, dtype=src.dtype)
+    Sigma = (2.0 * eye + (epsilon - 1.0)
+             * (nt[:, :, None] * nt[:, None, :]
+                + m[:, :, None] * m[:, None, :]))
+    M = inv3(Sigma)
+    J = jnp.concatenate(
+        [jnp.broadcast_to(eye, (src.shape[0], 3, 3)), -_skew_batch(p)], -1)
+    Mr = jnp.einsum("nij,nj->ni", M, r)
+    return jnp.einsum("nij,n,ni->j", J, w, Mr)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gicp_fixed_point(params, src, tgt, tgt_n, src_n, weight, T_init):
+    epsilon, trim2, max_iterations, tolerance = params
+    solve = partial(_solve_one, epsilon=epsilon,
+                    trim2=jnp.asarray(trim2, src.dtype),
+                    max_iterations=max_iterations, tolerance=tolerance,
+                    differentiable=False)
+    T, it, done, cost = jax.vmap(solve)(src, tgt, tgt_n, src_n, T_init,
+                                        weight)
+    return GICPResult(T=T, iterations=it, converged=done, cost=cost)
+
+
+def _gicp_fp_fwd(params, src, tgt, tgt_n, src_n, weight, T_init):
+    res = _gicp_fixed_point(params, src, tgt, tgt_n, src_n, weight, T_init)
+    return res, (src, tgt, tgt_n, src_n, weight, res.T)
+
+
+def _gicp_fp_bwd(params, saved, res_bar):
+    # the f32 matmul pin must cover the backward trace too (custom_vjp bwd
+    # rules are traced in the cotangent sweep, outside register_gicp_ift's
+    # with-block — same trap ift._fp_bwd documents)
+    with jax.default_matmul_precision("float32"):
+        return _gicp_fp_bwd_impl(params, saved, res_bar)
+
+
+def _gicp_fp_bwd_impl(params, saved, res_bar):
+    epsilon, trim2, _, _ = params
+    src, tgt, tgt_n, src_n, weight, T = saved
+    T_bar = res_bar.T  # iterations/converged/cost are detached by contract
+    dt = src.dtype
+    N = src.shape[0]
+
+    def one_bwd(src1, tgt1, tn1, sn1, w1, T1, Tb1):
+        R, t = T1[:3, :3], T1[:3, 3]
+        p = src1 @ R.T + t
+        d2 = (jnp.sum(p * p, 1)[:, None] + jnp.sum(tgt1 * tgt1, 1)[None, :]
+              - 2.0 * p @ tgt1.T)
+        idx = lax.stop_gradient(jnp.argmin(d2, axis=1))
+        r = p - tgt1[idx]
+        gate = lax.stop_gradient(
+            (jnp.sum(r * r, 1) < jnp.asarray(trim2, dt)).astype(dt))
+
+        def G(xi, src_, tgt_, tn_, sn_, w_):
+            return _gicp_g_vec(xi, T1, src_, tgt_, tn_, sn_, idx,
+                               w_ * gate, epsilon)
+
+        zero = jnp.zeros((6,), dt)
+        basis = jnp.eye(6, dtype=dt)
+        A = jnp.stack(
+            [jax.jvp(lambda x: G(x, src1, tgt1, tn1, sn1, w1),
+                     (zero,), (basis[j],))[1] for j in range(6)],
+            axis=-1)  # A[i, j] = dG_i / dxi_j
+        # jitter for gauge-degenerate scenes (planar data in 3-D): the
+        # null-direction gradient is meaningless, keep the solve finite
+        A = A + ((1e-9 * jnp.trace(jnp.abs(A)) / 6.0 + 1e-30)
+                 * jnp.eye(6, dtype=dt))
+
+        _, pose_vjp = jax.vjp(lambda xi: se3.vec2tran(xi) @ T1, zero)
+        xi_bar = pose_vjp(Tb1)[0]
+        lam = jnp.linalg.solve(A.T, xi_bar)
+
+        _, g_vjp = jax.vjp(
+            lambda s, tg, tn, sn, w: G(zero, s, tg, tn, sn, w),
+            src1, tgt1, tn1, sn1, w1)
+        return g_vjp(-lam)
+
+    src_bar, tgt_bar, tn_bar, sn_bar, w_bar = jax.vmap(one_bwd)(
+        src, tgt, tgt_n, src_n, weight, T, T_bar)
+    return (src_bar, tgt_bar, tn_bar, sn_bar, w_bar,
+            jnp.zeros((N, 4, 4), dt))
+
+
+_gicp_fixed_point.defvjp(_gicp_fp_fwd, _gicp_fp_bwd)
+
+
+def register_gicp_ift(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    *,
+    source_normals: Optional[jnp.ndarray] = None,
+    epsilon: float = 1e-3,
+    trim_dist: Optional[float] = None,
+    max_iterations: int = 50,
+    tolerance: float = 1e-9,
+    k_normals: int = 16,
+) -> GICPResult:
+    """GICP with implicit gradients: early-exit while forward, ONE 6x6
+    adjoint solve + one VJP of the stationarity backward — O(1) in the
+    iteration count (cf. dicp_tpu.ift for the main engine).
+
+    Normals are computed OUTSIDE the fixed point, so reverse-mode AD
+    composes through the normal estimate into the clouds as well.
+    Gradients assume convergence (check ``result.converged``); use a tight
+    ``tolerance`` — the default here is 1e-9, tighter than
+    :func:`register_gicp`'s.
+    """
+    if source.ndim != 3 or target.ndim != 3 or T_init.ndim != 3:
+        raise ValueError("register_gicp_ift expects batched (N, n, 3), "
+                         "(N, m, 3|6), (N, 4, 4)")
+    dt = source.dtype
+    src = source[..., :3]
+    tgt = target[..., :3]
+    with jax.default_matmul_precision("float32"):
+        if target.shape[-1] >= 6:
+            tgt_n = target[..., 3:6]
+        else:
+            tgt_n = estimate_normals(tgt, k=k_normals)
+        if source_normals is None:
+            src_n = estimate_normals(src, k=k_normals)
+        else:
+            src_n = source_normals[..., :3]
+        if weight is None:
+            weight = jnp.ones(src.shape[:-1], dt)
+        trim2 = float("inf") if trim_dist is None else float(trim_dist) ** 2
+        params = (float(epsilon), trim2, int(max_iterations),
+                  float(tolerance))
+        return _gicp_fixed_point(params, src, tgt, tgt_n, src_n, weight,
+                                 T_init.astype(dt))

@@ -141,6 +141,47 @@ def test_gradients():
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 
+def test_ift_forward_matches_while():
+    from dicp_tpu.gicp import register_gicp_ift
+
+    S, Tg, Ti, _ = _pair(XI, n=300)
+    r_ift = register_gicp_ift(S, Tg, Ti, max_iterations=60, tolerance=1e-13)
+    r_w = register_gicp(S, Tg, Ti, max_iterations=60, tolerance=1e-13)
+    np.testing.assert_array_equal(np.asarray(r_ift.T), np.asarray(r_w.T))
+    assert bool(r_ift.converged[0])
+
+
+def test_ift_gradients_match_unrolled():
+    """One 6x6 adjoint solve == reverse-mode through every iteration, at a
+    tight fixed point (the dicp_tpu.ift contract, extended to GICP)."""
+    from dicp_tpu.gicp import register_gicp_ift
+
+    S, Tg, Ti, _ = _pair(XI, n=300)
+    g_ift = np.asarray(jax.grad(
+        lambda a: jnp.sum(register_gicp_ift(a, Tg, Ti, max_iterations=60,
+                                            tolerance=1e-13).T))(S))
+    g_unr = np.asarray(jax.grad(
+        lambda a: jnp.sum(register_gicp(a, Tg, Ti, max_iterations=25,
+                                        tolerance=1e-13,
+                                        differentiable=True).T))(S))
+    assert np.all(np.isfinite(g_ift)) and np.abs(g_ift).max() > 0
+    np.testing.assert_allclose(g_ift, g_unr, rtol=0,
+                               atol=2e-6 * np.abs(g_unr).max())
+
+
+def test_ift_gradients_into_target_and_weight():
+    from dicp_tpu.gicp import register_gicp_ift
+
+    S, Tg, Ti, _ = _pair(XI, n=200)
+    w = jnp.ones((1, 200))
+    for arg, fn in [("target", lambda t: jnp.sum(register_gicp_ift(
+            S, t, Ti, w, max_iterations=60, tolerance=1e-13).T)),
+                    ("weight", lambda ww: jnp.sum(register_gicp_ift(
+            S, Tg, Ti, ww, max_iterations=60, tolerance=1e-13).T))]:
+        g = np.asarray(jax.grad(fn)(Tg if arg == "target" else w))
+        assert np.all(np.isfinite(g)) and np.abs(g).max() > 0, arg
+
+
 def test_validation():
     with pytest.raises(ValueError, match="batched"):
         register_gicp(jnp.zeros((8, 3)), jnp.zeros((8, 3)), jnp.eye(4))
