@@ -133,3 +133,86 @@ def test_normals_on_chip():
     true_n /= np.linalg.norm(true_n, axis=1, keepdims=True)
     dots = np.abs(np.sum(nrm * true_n, axis=-1))
     assert float(np.median(dots)) > 0.999, float(np.median(dots))
+
+
+def test_gicp_on_chip():
+    """GICP (f32, compiled) on a curved scene: pose error ~f32 floor, and
+    the IFT backward's 6x6 adjoint pipeline runs on the chip (finite,
+    nonzero, direction-consistent with unrolled)."""
+    from dicp_tpu import se3
+    from dicp_tpu.gicp import register_gicp, register_gicp_ift
+
+    rng = np.random.default_rng(11)
+    xy = rng.uniform(-3, 3, size=(400, 2))
+    scene = np.column_stack(
+        [xy, 0.09 * (xy[:, 0] ** 2 - xy[:, 1] ** 2)]).astype(np.float32)
+    xi = np.array([0.2, -0.15, 0.1, 0.06, -0.04, 0.08], np.float64)
+    T_np = np.asarray(se3.vec2tran(
+        jnp.asarray(xi.astype(np.float32)))).astype(np.float64)
+    # host-f64 source generation (bf16 matmul trap, BENCH.md)
+    src = (scene[:, :3].astype(np.float64) @ T_np[:3, :3].T
+           + T_np[:3, 3]).astype(np.float32)
+    S = jnp.asarray(src[None])
+    Tg = jnp.asarray(scene[None])
+    Ti = jnp.eye(4, dtype=jnp.float32)[None]
+
+    res = jax.jit(lambda s, t, ti: register_gicp(
+        s, t, ti, max_iterations=40, tolerance=1e-6))(S, Tg, Ti)
+    T_true = se3.tran_inv(jnp.asarray(T_np.astype(np.float32)))
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    assert err < 1e-4, err
+    assert bool(res.converged[0])
+
+    g_i = np.asarray(jax.jit(jax.grad(lambda s: jnp.sum(register_gicp_ift(
+        s, Tg, Ti, max_iterations=40, tolerance=1e-6).T)))(S))
+    g_u = np.asarray(jax.jit(jax.grad(lambda s: jnp.sum(register_gicp(
+        s, Tg, Ti, max_iterations=15, tolerance=1e-6,
+        differentiable=True).T)))(S))
+    assert np.all(np.isfinite(g_i)) and np.abs(g_i).max() > 0
+    cos = float(np.sum(g_i * g_u)
+                / (np.linalg.norm(g_i) * np.linalg.norm(g_u)))
+    assert cos > 0.999, cos
+
+
+def test_multiscale_on_chip():
+    """Voxel-pyramid registration (f32, compiled, cluster final level) on a
+    20k cloud: same pose as single-scale, fewer full-res iterations."""
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.multiscale import ScaleLevel, register_multiscale
+    from dicp_tpu.registration import register
+
+    from benchmarks.bench_suite import _make_scene
+
+    n = 20_000
+    target = jnp.asarray(_make_scene(n))
+    xi = np.array([0.4, -0.25, 0.1, 0.03, -0.05, 0.08], np.float64)
+    T_np = np.asarray(se3.vec2tran(
+        jnp.asarray(xi.astype(np.float32)))).astype(np.float64)
+    source = jnp.asarray(
+        (np.asarray(target[:, :3], np.float64) @ T_np[:3, :3].T
+         + T_np[:3, 3]).astype(np.float32))
+    T_true = se3.tran_inv(jnp.asarray(T_np.astype(np.float32)))
+
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False,
+                    max_iterations=30, tolerance=1e-5, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=1.0, nn_method="cluster",
+                    collect_histories=False)
+    levels = (ScaleLevel(1.0, 2048, 2048, 15, 1e-3, trim_dist=8.0,
+                         nn_method="dense"),
+              ScaleLevel(0.0, 0, 0, 30, 1e-5))
+    ms = jax.jit(lambda s, t, ti: register_multiscale(
+        s[None], t[None], ti[None], None, cfg, levels))(
+        source, target, jnp.eye(4, dtype=jnp.float32))
+    res = jax.jit(lambda s, t, ti: register(
+        s[None], t[None], ti[None], None, cfg))(
+        source, target, jnp.eye(4, dtype=jnp.float32))
+
+    def err_of(T):
+        return float(jnp.linalg.norm(se3.tran2vec(
+            se3.compose(T_true, se3.tran_inv(T)))))
+
+    assert err_of(ms.result.T[0]) < 5e-4, err_of(ms.result.T[0])
+    assert err_of(res.T[0]) < 5e-4
+    assert (float(ms.level_iterations[-1, 0]) <= float(res.iterations[0]))
