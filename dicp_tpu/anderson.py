@@ -134,6 +134,7 @@ def _anderson_impl(source, target, T_init, weight, cfg, m, eps_rel, cap):
         u_acc=u0,                                # last ACCEPTED iterate
         f_acc=jnp.zeros((N, 6), dtype),          # residual at last accepted
         cost_acc=jnp.full((N,), big, dtype),     # energy at last accepted
+        cost_last=jnp.full((N,), jnp.inf, dtype),  # last REAL evaluated energy
         dU=jnp.zeros((N, m, 6), dtype),
         dF=jnp.zeros((N, m, 6), dtype),
         hist_n=jnp.zeros((N,), jnp.int32),       # filled history slots
@@ -192,8 +193,13 @@ def _anderson_impl(source, target, T_init, weight, cfg, m, eps_rel, cap):
         corr = _aa_mix(dU, dF, f, valid, eps_rel, cap)
         u_aa = g - corr
         u_next = jnp.where(accepted[:, None], u_aa, s["g_safe"])
-        # converged elements freeze (batch == serial)
-        u_next = jnp.where(converged[:, None], s["u"], u_next)
+        # NEWLY converged elements take the converging plain-GN step — the
+        # plain while driver applies the sub-tolerance delta before freezing
+        # (registration.py carry semantics), so freezing at the pre-update u
+        # would lag it by one step at loose tolerances
+        u_next = jnp.where(below[:, None], g, u_next)
+        # previously converged elements stay frozen (batch == serial)
+        u_next = jnp.where(s["converged"][:, None], s["u"], u_next)
 
         # rejected elements take the guaranteed plain step and accept it
         # unconditionally next time (cost_acc = +inf) — worst case is
@@ -207,6 +213,9 @@ def _anderson_impl(source, target, T_init, weight, cfg, m, eps_rel, cap):
             u_acc=jnp.where(accepted[:, None], s["u"], s["u_acc"]),
             f_acc=jnp.where(accepted[:, None], f, s["f_acc"]),
             cost_acc=cost_acc,
+            # the energy actually evaluated this iteration — never the
+            # rejection sentinel; frozen once converged
+            cost_last=jnp.where(s["converged"], s["cost_last"], cost),
             dU=dU, dF=dF, hist_n=hist_n,
             converged=converged, num_iters=num_iters,
             match_ratio=match_ratio,
@@ -232,7 +241,7 @@ def _anderson_impl(source, target, T_init, weight, cfg, m, eps_rel, cap):
     P = weight.shape[-1]
     return ICPResult(
         pc=pc, T=T_ts,
-        costs=s["cost_acc"][:, None, None],
+        costs=s["cost_last"][:, None, None],
         deltas=jnp.zeros((N, 1, 6, 1), dtype),
         weights=s["w_last"].reshape(N, 1, P, 1),
         converged=s["converged"],

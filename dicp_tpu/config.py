@@ -153,6 +153,16 @@ class ICPConfig:
             raise ValueError("anderson_m > 0 requires a deterministic "
                              "correspondence backend (Gumbel soft-NN "
                              "resamples every evaluation)")
+        if (self.anderson_m > 0 and self.differentiable
+                and self.resolved_driver() == "scan"):
+            # Without this check the failure surfaces deep inside JAX as
+            # "Reverse-mode differentiation does not work for lax.while_loop"
+            # when jax.grad hits the AA driver.
+            raise ValueError(
+                "anderson_m > 0 replaces the unrolled scan driver with a "
+                "while-loop AA driver, which reverse-mode AD cannot flow "
+                "through; for gradients use dicp_tpu.ift (IFT backward, "
+                "driver='while'), or drop anderson_m for unrolled gradients")
 
     def resolved_driver(self) -> str:
         if self.driver != "auto":

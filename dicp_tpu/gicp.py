@@ -36,7 +36,7 @@ from jax import lax
 
 from dicp_tpu import se3
 from dicp_tpu.ops.normals import estimate_normals
-from dicp_tpu.ops.smallsolve import inv3, solve6_spd
+from dicp_tpu.ops.smallsolve import inv3, solve_spd
 
 
 class GICPResult(NamedTuple):
@@ -46,14 +46,39 @@ class GICPResult(NamedTuple):
     cost: jnp.ndarray         # (N,) final mean Mahalanobis cost
 
 
-def _skew_batch(v):
-    """(n, 3) -> (n, 3, 3)."""
-    z = jnp.zeros_like(v[:, 0])
-    return jnp.stack([
-        jnp.stack([z, -v[:, 2], v[:, 1]], -1),
-        jnp.stack([v[:, 2], z, -v[:, 0]], -1),
-        jnp.stack([-v[:, 1], v[:, 0], z], -1),
-    ], -2)
+def _mahalanobis_ne(J, M, r, w, chunk: int = 4096):
+    """H = sum_i w_i J_i^T M_i J_i (6,6), g = sum_i w_i J_i^T M_i r_i (6,)
+    with two-level (chunked pairwise) f32 accumulation, plus Mr (n, 3).
+
+    Same rounding scheme as registration._normal_equations: a flat einsum
+    over n accumulates n sequential partial sums whose f32 noise reaches
+    ~1e-4 in the GN step at ~3e5 rows (measured on chip); summing within
+    chunks then across chunks bounds it ~O(sqrt)."""
+    n = J.shape[0]
+    MJ = jnp.einsum("nij,njk->nik", M, J)
+    Mr = jnp.einsum("nij,nj->ni", M, r)
+    if n <= chunk:
+        H = jnp.einsum("nij,n,nik->jk", J, w, MJ)
+        g = jnp.einsum("nij,n,ni->j", J, w, Mr)
+        return H, g, Mr
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        J = jnp.concatenate([J, jnp.zeros((pad,) + J.shape[1:], J.dtype)], 0)
+        MJ = jnp.concatenate(
+            [MJ, jnp.zeros((pad,) + MJ.shape[1:], MJ.dtype)], 0)
+        Mr_p = jnp.concatenate(
+            [Mr, jnp.zeros((pad, 3), Mr.dtype)], 0)
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)], 0)
+    else:
+        Mr_p = Mr
+    Jc = J.reshape(nc, chunk, 3, 6)
+    MJc = MJ.reshape(nc, chunk, 3, 6)
+    Mrc = Mr_p.reshape(nc, chunk, 3)
+    wc = w.reshape(nc, chunk)
+    H = jnp.sum(jnp.einsum("cnij,cn,cnik->cjk", Jc, wc, MJc), axis=0)
+    g = jnp.sum(jnp.einsum("cnij,cn,cni->cj", Jc, wc, Mrc), axis=0)
+    return H, g, Mr
 
 
 def _gicp_step(T, src, src_n, tgt, tgt_n, weight, epsilon, trim2):
@@ -83,17 +108,17 @@ def _gicp_step(T, src, src_n, tgt, tgt_n, weight, epsilon, trim2):
 
     # J_i = [ I | -skew(p_i) ]  (n, 3, 6)
     J = jnp.concatenate(
-        [jnp.broadcast_to(eye, (src.shape[0], 3, 3)), -_skew_batch(p)], -1)
-    MJ = jnp.einsum("nij,njk->nik", M, J)
-    H = jnp.einsum("nij,n,nik->jk", J, w, MJ)           # (6, 6)
-    Mr = jnp.einsum("nij,nj->ni", M, r)
-    g = jnp.einsum("nij,n,ni->j", J, w, Mr)             # (6,)
+        [jnp.broadcast_to(eye, (src.shape[0], 3, 3)), -se3.skew(p)], -1)
+    H, g, Mr = _mahalanobis_ne(J, M, r, w)              # (6,6), (6,), (n,3)
 
     wsum = jnp.maximum(jnp.sum(w), 1e-10)
     # Levenberg jitter scaled to H's diagonal: keeps the solve defined when
-    # every correspondence is trimmed or the scene is degenerate
+    # every correspondence is trimmed or the scene is degenerate.  solve_spd
+    # (not the raw Schur form) because the rotation/translation blocks scale
+    # with r^2 vs 1 — the un-equilibrated f32 Schur complement cancels
+    # catastrophically on realistic-radius scans (ops/smallsolve.solve_spd).
     lam = 1e-9 * jnp.trace(H) / 6.0 + 1e-30
-    delta = solve6_spd(H + lam * jnp.eye(6, dtype=src.dtype), -g)
+    delta = solve_spd(H + lam * jnp.eye(6, dtype=src.dtype), -g)
     T_new = se3.vec2tran(delta) @ T
     cost = jnp.sum(w * jnp.sum(r * Mr, 1)) / wsum
     return T_new, jnp.linalg.norm(delta), cost
@@ -233,9 +258,9 @@ def _gicp_g_vec(xi, T_star, src, tgt, tgt_n, src_n, idx, w, epsilon):
                 + m[:, :, None] * m[:, None, :]))
     M = inv3(Sigma)
     J = jnp.concatenate(
-        [jnp.broadcast_to(eye, (src.shape[0], 3, 3)), -_skew_batch(p)], -1)
-    Mr = jnp.einsum("nij,nj->ni", M, r)
-    return jnp.einsum("nij,n,ni->j", J, w, Mr)
+        [jnp.broadcast_to(eye, (src.shape[0], 3, 3)), -se3.skew(p)], -1)
+    _, g, _ = _mahalanobis_ne(J, M, r, w)
+    return g
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

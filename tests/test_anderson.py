@@ -177,3 +177,34 @@ def test_weighted_and_stats(pair):
     assert bool(aa.converged[0])
     assert float(aa.matched_ratio[0]) > 0.5
     assert np.all(np.isfinite(np.asarray(aa.pc)))
+
+
+def test_converging_step_is_applied(pair):
+    """A tolerance loose enough that the FIRST plain-GN step converges: the
+    plain while driver applies that step before freezing, so the AA driver
+    must return the identical post-step pose — not freeze at T_init
+    (code-review r3: freezing at the pre-update iterate lagged the plain
+    driver by one sub-tolerance step)."""
+    src, tgt, ti = pair
+    cfg = _cfg("pt2pl", max_iterations=5)
+    cfg = cfg.with_(tolerance=10.0)  # first step norm ~O(1) < 10
+    plain = register_jit(src, tgt, ti, None, cfg=cfg)
+    aa = register_anderson_jit(src, tgt, ti, None, cfg=cfg)
+    assert bool(aa.converged[0]) and bool(plain.converged[0])
+    assert float(aa.iterations[0]) == float(plain.iterations[0]) == 1.0
+    # identical single plain-GN step -> identical pose, and NOT T_init
+    np.testing.assert_allclose(np.asarray(aa.T), np.asarray(plain.T),
+                               atol=1e-12)
+    assert not np.allclose(np.asarray(aa.T), np.asarray(ti), atol=1e-6)
+
+
+def test_costs_never_rejection_sentinel(pair):
+    """res.costs must be the last real evaluated energy, never the
+    finfo.max rejection sentinel (code-review r3) — exercised with an
+    aggressive cap (rejection-prone) and a budget that exits unconverged."""
+    src, tgt, ti = pair
+    cfg = _cfg("pt2pt", max_iterations=3)
+    aa = register_anderson_jit(src, tgt, ti, None, cfg=cfg, cap=100.0)
+    c = np.asarray(aa.costs)
+    assert np.all(np.isfinite(c))
+    assert np.all(c < 1e12), c

@@ -185,3 +185,65 @@ def test_ift_gradients_into_target_and_weight():
 def test_validation():
     with pytest.raises(ValueError, match="batched"):
         register_gicp(jnp.zeros((8, 3)), jnp.zeros((8, 3)), jnp.eye(4))
+
+
+def test_f32_realistic_radius_no_nan():
+    """Points at ~50 m radius in f32: the H rotation block scales with
+    n*r^2 vs the translation block's n (1e4+ diagonal disparity).  The
+    un-equilibrated Schur solve cancels catastrophically here (det -> 0 ->
+    NaN, ops/smallsolve.solve_spd docstring); the solver must use the
+    Jacobi-equilibrated form (code-review r3)."""
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(-50, 50, size=(800, 2))
+    z = 0.02 * (xy[:, 0] ** 2 - xy[:, 1] ** 2) / 50.0
+    scene = np.column_stack([xy, z]).astype(np.float32)
+    xi = [0.3, -0.2, 0.1, 0.004, -0.003, 0.006]
+    T_true = np.asarray(se3.vec2tran(jnp.asarray(np.asarray(xi, np.float64))),
+                        np.float64)
+    src = (scene.astype(np.float64) @ T_true[:3, :3].T
+           + T_true[:3, 3]).astype(np.float32)
+    res = register_gicp(jnp.asarray(src[None]), jnp.asarray(scene[None]),
+                        jnp.eye(4, dtype=jnp.float32)[None],
+                        max_iterations=60, tolerance=1e-7)
+    T = np.asarray(res.T[0], np.float64)
+    assert np.all(np.isfinite(T))
+    # register_gicp maps source -> target, so T inverts the src = T_true @
+    # scene construction: T @ T_true == I (same convention as the recovery
+    # tests above)
+    err = np.asarray(se3.tran2vec(jnp.asarray(T @ T_true)))
+    assert np.linalg.norm(err) < 5e-4, (np.linalg.norm(err), err)
+
+
+def test_all_trimmed_no_nan():
+    """A trim gate that rejects EVERY correspondence must leave the pose at
+    T_init with finite values (H = 0 + Levenberg jitter; the f32 underflow
+    mode flagged in code-review r3), matching the reference's empty-input
+    degradation semantics (dICP/ICP.py:331-346)."""
+    S, Tg, Ti, _ = _pair(XI, n=200)
+    S32 = jnp.asarray(np.asarray(S, np.float32))
+    Tg32 = jnp.asarray(np.asarray(Tg, np.float32))
+    Ti32 = jnp.asarray(np.asarray(Ti, np.float32))
+    res = register_gicp(S32, Tg32, Ti32, trim_dist=1e-9, max_iterations=10,
+                        tolerance=1e-7)
+    T = np.asarray(res.T[0])
+    assert np.all(np.isfinite(T))
+    np.testing.assert_allclose(T, np.asarray(Ti32[0]), atol=1e-5)
+
+
+def test_mahalanobis_ne_chunked_matches_flat():
+    """The two-level accumulator (n > chunk) must agree with the flat einsum
+    in f64 (where accumulation order is harmless)."""
+    from dicp_tpu.gicp import _mahalanobis_ne
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    J = jnp.asarray(rng.standard_normal((n, 3, 6)))
+    A = rng.standard_normal((n, 3, 3))
+    M = jnp.asarray(np.einsum("nij,nkj->nik", A, A) + 3 * np.eye(3))
+    r = jnp.asarray(rng.standard_normal((n, 3)))
+    w = jnp.asarray(rng.uniform(0, 1, n))
+    H1, g1, Mr1 = _mahalanobis_ne(J, M, r, w, chunk=512)
+    H2, g2, Mr2 = _mahalanobis_ne(J, M, r, w, chunk=10**9)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Mr1), np.asarray(Mr2), rtol=1e-12)
