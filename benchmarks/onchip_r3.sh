@@ -32,6 +32,7 @@ run pipeline     590 python benchmarks/exp_pipeline.py full stream4 stream8
 run suite_large  590 python benchmarks/bench_suite.py large_cloud
 run multiscale   590 python benchmarks/exp_multiscale.py
 run gicp         590 python benchmarks/exp_gicp.py
+run sgd          590 python benchmarks/exp_sgd.py
 run suite_pipe   590 python benchmarks/bench_suite.py pipeline
 run suite_rest   590 python benchmarks/bench_suite.py svd_pair pt2pl_pair batch256 normals odometry
 run capacity     590 python benchmarks/bench_suite.py capacity

@@ -8,6 +8,9 @@ utiasASRL/dICP (see SURVEY.md), redesigned TPU-first:
   losses, trimming, prior weights, per-element convergence freezing,
   end-to-end gradients).
 * :mod:`dicp_tpu.svd_icp` — batched closed-form (Kabsch/SVD) pt2pt ICP.
+* :mod:`dicp_tpu.sgd_icp` — stochastic mini-batch ICP (SGD-ICP,
+  arXiv:1907.09133): O(k·m) per iteration with stochastic-GN/SGD/Adam
+  updates, explicit PRNG keys.
 * :mod:`dicp_tpu.knn` / :mod:`dicp_tpu.ops.pallas_knn` /
   :mod:`dicp_tpu.ops.cluster_knn` — brute-force, tiled-Pallas, and
   Hilbert cluster-pruned certified-exact nearest-neighbor search.
@@ -36,6 +39,7 @@ from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_knn,
 from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
 from dicp_tpu.pipeline import stream_odometry, stream_registrations
 from dicp_tpu.registration import ICPResult, register, register_jit
+from dicp_tpu.sgd_icp import SGDICPResult, register_sgd, register_sgd_jit
 from dicp_tpu.svd_icp import pt2pt_svd_icp
 
 __version__ = "0.1.0"
@@ -66,6 +70,9 @@ __all__ = [
     "register_ift",
     "register_ift_jit",
     "register_jit",
+    "SGDICPResult",
+    "register_sgd",
+    "register_sgd_jit",
     "stream_odometry",
     "stream_registrations",
     "__version__",

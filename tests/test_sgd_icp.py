@@ -1,0 +1,143 @@
+"""Stochastic mini-batch ICP (dicp_tpu.sgd_icp) — SGD-ICP family.
+
+No reference counterpart (the reference iterates the full cloud,
+dICP/ICP.py:132); implements arXiv:1907.09133.  Contracts pinned:
+
+* stochastic GN on a mini-batch recovers the pose of the full-batch solver;
+* the paper's SGD/Adam rules converge into a learning-rate noise ball;
+* pt2pt and pt2pl; robust loss + trim reuse; zero-weight rows are no-ops;
+* explicit-key determinism and batch == serial with per-element keys;
+* reverse-mode gradients (fixed-trip scan) finite and nonzero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dicp_tpu import se3
+from dicp_tpu.sgd_icp import register_sgd
+
+
+def _scene(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-4, 4, size=(n, 2))
+    z = 0.08 * (xy[:, 0] ** 2 - xy[:, 1] ** 2) + 0.3 * np.sin(xy[:, 0])
+    return np.column_stack([xy, z])
+
+
+XI = [0.15, -0.1, 0.08, 0.05, -0.03, 0.06]
+
+
+def _pair(xi=XI, n=4000, seed=5):
+    scene = _scene(n, seed)
+    T_true = np.asarray(se3.vec2tran(jnp.asarray(np.asarray(xi, np.float64))))
+    src = scene @ T_true[:3, :3].T + T_true[:3, 3]
+    return (jnp.asarray(src[None]), jnp.asarray(scene[None]),
+            jnp.eye(4)[None], T_true)
+
+
+def _err(T, T_true):
+    return np.linalg.norm(np.asarray(
+        se3.tran2vec(jnp.asarray(np.asarray(T, np.float64) @ T_true))))
+
+
+def test_gn_recovers_pose():
+    S, Tg, Ti, T_true = _pair()
+    res = register_sgd(S, Tg, Ti, jax.random.key(0), minibatch=512,
+                       iterations=60, tolerance=1e-8)
+    assert bool(res.converged[0])
+    assert _err(res.T[0], T_true) < 1e-4, _err(res.T[0], T_true)
+
+
+def test_sgd_and_adam_converge():
+    """The paper's first-order rules on the paper's objective (pt2pt):
+    both drive the pose error to ~1e-9 in a few hundred iterations
+    (measured: sgd 8e-11, adam 9e-9).  pt2pl is ill-conditioned for
+    first-order updates on gently curved scenes (the flattest pose
+    direction carries the residual error at negligible cost) — that mode
+    is what the stochastic-GN rule is for (see module docstring)."""
+    S, Tg, Ti, T_true = _pair()
+    for opt, lr, tol in [("sgd", 0.3, 1e-6), ("adam", 0.05, 1e-6)]:
+        res = register_sgd(S, Tg, Ti, jax.random.key(1), icp_type="pt2pt",
+                           minibatch=512, iterations=300, optimizer=opt,
+                           lr=lr, lr_decay=0.02, tolerance=0.0)
+        assert _err(res.T[0], T_true) < tol, (opt, _err(res.T[0], T_true))
+
+
+def test_pt2pt_mode():
+    S, Tg, Ti, T_true = _pair()
+    res = register_sgd(S, Tg, Ti, jax.random.key(2), icp_type="pt2pt",
+                       minibatch=512, iterations=120, tolerance=1e-8)
+    assert _err(res.T[0], T_true) < 1e-3, _err(res.T[0], T_true)
+
+
+def test_trim_rejects_outliers():
+    S, Tg, Ti, T_true = _pair()
+    out = jnp.asarray(np.random.default_rng(0)
+                      .uniform(30, 40, size=(1, 200, 3)))
+    S_o = jnp.concatenate([S, out], axis=1)
+    res = register_sgd(S_o, Tg, Ti, jax.random.key(3), minibatch=512,
+                       iterations=80, trim_dist=2.0, tolerance=1e-8)
+    assert _err(res.T[0], T_true) < 1e-4, _err(res.T[0], T_true)
+
+
+def test_zero_weight_rows_are_noops():
+    S, Tg, Ti, T_true = _pair()
+    n = S.shape[1]
+    S_bad = S.at[:, n // 2:, :].add(7.0)
+    w = jnp.ones((1, n)).at[:, n // 2:].set(0.0)
+    res = register_sgd(S_bad, Tg, Ti, jax.random.key(4), weight=w,
+                       minibatch=512, iterations=80, tolerance=1e-8)
+    assert _err(res.T[0], T_true) < 1e-4, _err(res.T[0], T_true)
+
+
+def test_deterministic_under_key():
+    S, Tg, Ti, T_true = _pair(n=1500)
+    a = register_sgd(S, Tg, Ti, jax.random.key(7), minibatch=256,
+                     iterations=40)
+    b = register_sgd(S, Tg, Ti, jax.random.key(7), minibatch=256,
+                     iterations=40)
+    np.testing.assert_array_equal(np.asarray(a.T), np.asarray(b.T))
+    c = register_sgd(S, Tg, Ti, jax.random.key(8), minibatch=256,
+                     iterations=40)
+    assert not np.array_equal(np.asarray(a.T), np.asarray(c.T))
+    assert _err(c.T[0], T_true) < 1e-3
+
+
+def test_batch_equals_serial_with_element_keys():
+    S0, Tg, Ti, _ = _pair(n=1500)
+    S1, _, _, _ = _pair([-0.1, 0.12, -0.06, -0.02, 0.04, -0.05], n=1500)
+    keys = jax.random.split(jax.random.key(9), 2)
+    batch = register_sgd(jnp.concatenate([S0, S1]), jnp.concatenate([Tg, Tg]),
+                         jnp.concatenate([Ti, Ti]), keys, minibatch=256,
+                         iterations=40)
+    solo1 = register_sgd(S1, Tg, Ti, keys[1:2], minibatch=256, iterations=40)
+    # same PRNG stream -> same mini-batches; poses agree to accumulation
+    # order (vmap batching may re-associate the einsum reductions)
+    np.testing.assert_allclose(np.asarray(batch.T[1]),
+                               np.asarray(solo1.T[0]), rtol=0, atol=1e-12)
+
+
+def test_gradients_finite_nonzero():
+    S, Tg, Ti, _ = _pair(n=800)
+
+    def loss(a):
+        return jnp.sum(register_sgd(a, Tg, Ti, jax.random.key(11),
+                                    minibatch=128, iterations=15,
+                                    differentiable=True).T)
+
+    g = np.asarray(jax.grad(loss)(S))
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+
+def test_validation():
+    S, Tg, Ti, _ = _pair(n=100)
+    with pytest.raises(ValueError, match="batched"):
+        register_sgd(S[0], Tg, Ti, jax.random.key(0))
+    with pytest.raises(ValueError, match="icp_type"):
+        register_sgd(S, Tg, Ti, jax.random.key(0), icp_type="symmetric")
+    with pytest.raises(ValueError, match="optimizer"):
+        register_sgd(S, Tg, Ti, jax.random.key(0), optimizer="lbfgs")
+    with pytest.raises(ValueError, match="key"):
+        register_sgd(S, Tg, Ti, jax.random.split(jax.random.key(0), 3))
