@@ -25,7 +25,9 @@ jax.config.update("jax_enable_x64", True)
 # this compile-bound suite, but concurrent pytest runs sharing one cache
 # dir produced a corrupted entry whose READ segfaulted the whole process
 # (jax compilation_cache.get_executable_and_time via zstd) — and the bad
-# entry persists, making later runs crash deterministically.  Not worth a
+# entry persists, making later runs crash deterministically.  A later
+# SINGLE-writer run also segfaulted in put_executable_and_time (round 3),
+# so the cache is unreliable here even without concurrency.  Not worth a
 # segfaulting suite by default.
 _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
 if _cache:
@@ -39,6 +41,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite compiles hundreds of distinct XLA programs in one
+    process; with everything retained, later compilations started
+    segfaulting inside backend_compile_and_load at state-dependent points
+    (observed at ~110-150 tests in, at different tests per run — classic
+    accumulated-state corruption, NOT memory pressure: 128 GB free).
+    Dropping executables between modules keeps within-module reuse (the
+    expensive fixtures) while bounding accumulated compiler state.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
