@@ -61,12 +61,14 @@ class SGDICPResult(NamedTuple):
     cost: jnp.ndarray         # (N,) EMA of the mini-batch robust cost
 
 
-def _minibatch_system(T, idx, src, tgt, tgt_n, weight, *, icp_type,
+def _minibatch_system(T, idx, src, tgt, tgt_n, weight, nn_fn, *, icp_type,
                       loss_name, loss_metric, trim_dist, differentiable):
     """Mini-batch residuals -> (H (6,6), g (6,), cost) at pose T.
 
     H is the mini-batch J^T W J (only used by the 'gn' rule); g is the
-    IRLS gradient J^T W e shared by every rule.
+    IRLS gradient J^T W e shared by every rule.  ``nn_fn(p) -> (nn_idx,
+    valid)`` supplies correspondences (dense argmin or cluster-index
+    query; the index is detached either way — hard-diff semantics).
     """
     dt = src.dtype
     k = idx.shape[0]
@@ -75,9 +77,9 @@ def _minibatch_system(T, idx, src, tgt, tgt_n, weight, *, icp_type,
     R, t = T[:3, :3], T[:3, 3]
     p = p0 @ R.T + t
 
-    d2 = (jnp.sum(p * p, 1)[:, None] + jnp.sum(tgt * tgt, 1)[None, :]
-          - 2.0 * p @ tgt.T)                             # (k, m)
-    nn = jnp.argmin(d2, axis=1)
+    nn, valid = nn_fn(p)
+    if valid is not None:
+        w0 = w0 * valid.astype(dt)
     q = tgt[nn]
     r3 = p - q                                           # (k, 3)
 
@@ -129,15 +131,46 @@ def _step_delta(H, g, m1, m2, it, *, optimizer, lr, lr_decay, b1, b2, dt):
     return (-lr_t * (m1 / c1) / (jnp.sqrt(m2 / c2) + 1e-8)), m1, m2
 
 
+def _dense_nn_fn(tgt):
+    def nn_fn(p):
+        d2 = (jnp.sum(p * p, 1)[:, None] + jnp.sum(tgt * tgt, 1)[None, :]
+              - 2.0 * p @ tgt.T)                         # (k, m)
+        return jnp.argmin(d2, axis=1), None
+    return nn_fn
+
+
+def _cluster_nn_fn(tgt, group, probes, fixup):
+    """Index built ONCE per solve (tgt is constant across iterations); each
+    mini-batch query is O(k·probes·group) instead of O(k·m).  Uncertified
+    queries beyond the fixup budget are dropped for that iteration via the
+    valid gate (an unbiased stochastic solver tolerates dropped samples;
+    the certificate may under-claim but never lies)."""
+    from dicp_tpu.ops.cluster_knn import build_cluster_index, cluster_nn
+
+    index = build_cluster_index(tgt, group)
+
+    def nn_fn(p):
+        idx, _, cert = cluster_nn(index, lax.stop_gradient(p), probes=probes,
+                                  use_pallas=False, fused=False, fixup=fixup)
+        return idx, cert
+    return nn_fn
+
+
 def _solve_one(src, tgt, tgt_n, weight, T0, key, *, icp_type, loss_name,
                loss_metric, trim_dist, differentiable, minibatch, iterations,
-               optimizer, lr, lr_decay, tolerance, ema_beta, patience):
+               optimizer, lr, lr_decay, tolerance, ema_beta, patience,
+               nn_method, cluster_group, cluster_probes, cluster_fixup):
     dt = src.dtype
     n = src.shape[0]
+    if nn_method == "cluster":
+        nn_fn = _cluster_nn_fn(tgt, cluster_group, cluster_probes,
+                               cluster_fixup)
+    else:
+        nn_fn = _dense_nn_fn(tgt)
     sys_fn = partial(_minibatch_system, src=src, tgt=tgt, tgt_n=tgt_n,
-                     weight=weight, icp_type=icp_type, loss_name=loss_name,
-                     loss_metric=loss_metric, trim_dist=trim_dist,
-                     differentiable=differentiable)
+                     weight=weight, nn_fn=nn_fn, icp_type=icp_type,
+                     loss_name=loss_name, loss_metric=loss_metric,
+                     trim_dist=trim_dist, differentiable=differentiable)
 
     def body(c, it):
         T, m1, m2, streak, cost_ema, done, num_it = c
@@ -223,6 +256,9 @@ def register_sgd(
     patience: int = 3,
     differentiable: bool = False,
     k_normals: int = 16,
+    nn_method: str = "auto",
+    cluster_group: int = 128,
+    cluster_probes: int = 16,
 ) -> SGDICPResult:
     """Batched stochastic mini-batch ICP: (N, n, 3), (N, m, 3|6), (N, 4, 4).
 
@@ -239,6 +275,14 @@ def register_sgd(
     ``differentiable=True`` (smooth robust/trim weights, gradient through
     gathered values).
 
+    ``nn_method``: 'dense' computes the (k, m) distance block per
+    iteration; 'cluster' builds the Hilbert cluster index once per solve
+    (the target is constant) and answers each mini-batch in
+    O(k·probes·group) — 'auto' picks 'cluster' for targets ≥ 16384 points
+    (same threshold as the full solver).  Cluster queries past the fixup
+    budget that remain uncertified are dropped for that iteration via the
+    weight gate (the certificate may under-claim, never lie).
+
     Accuracy note: SGD/Adam converge to a noise ball around the optimum
     scaled by the final learning rate; ``'gn'`` with k ≳ 256 reaches the
     full-batch fixed point to ~1e-5 on well-posed scenes (tests).  For
@@ -252,6 +296,13 @@ def register_sgd(
         raise ValueError(f"icp_type must be pt2pt|pt2pl, got {icp_type}")
     if optimizer not in ("gn", "sgd", "adam"):
         raise ValueError(f"optimizer must be gn|sgd|adam, got {optimizer}")
+    if nn_method not in ("auto", "dense", "cluster"):
+        raise ValueError(f"nn_method must be auto|dense|cluster, "
+                         f"got {nn_method}")
+    if nn_method == "auto":
+        # cluster pruning pays once the target is large (same threshold as
+        # ICPConfig.resolved_nn_method); dense keeps small problems fused
+        nn_method = "cluster" if target.shape[1] >= 16384 else "dense"
     dt = source.dtype
     src = source[..., :3]
     tgt = target[..., :3]
@@ -275,7 +326,12 @@ def register_sgd(
                         minibatch=int(minibatch), iterations=int(iterations),
                         optimizer=optimizer, lr=float(lr),
                         lr_decay=float(lr_decay), tolerance=float(tolerance),
-                        ema_beta=float(ema_beta), patience=int(patience))
+                        ema_beta=float(ema_beta), patience=int(patience),
+                        nn_method=nn_method,
+                        cluster_group=int(cluster_group),
+                        cluster_probes=int(cluster_probes),
+                        cluster_fixup=min(int(minibatch),
+                                          max(64, int(minibatch) // 16)))
         T, it, done, cost = jax.vmap(solve)(src, tgt, tgt_n, weight,
                                             T_init.astype(dt), keys)
     return SGDICPResult(T=T, iterations=it, converged=done, cost=cost)
@@ -286,4 +342,5 @@ register_sgd_jit = jax.jit(
     static_argnames=("icp_type", "minibatch", "iterations", "optimizer",
                      "lr", "lr_decay", "loss_name", "loss_metric",
                      "trim_dist", "tolerance", "ema_beta", "patience",
-                     "differentiable", "k_normals"))
+                     "differentiable", "k_normals", "nn_method",
+                     "cluster_group", "cluster_probes"))

@@ -141,3 +141,17 @@ def test_validation():
         register_sgd(S, Tg, Ti, jax.random.key(0), optimizer="lbfgs")
     with pytest.raises(ValueError, match="key"):
         register_sgd(S, Tg, Ti, jax.random.split(jax.random.key(0), 3))
+
+
+def test_cluster_backend_matches_dense():
+    """Cluster-index correspondences (certified + fixup) select the same
+    neighbors as the dense argmin, so the gn trajectory must land on the
+    same pose; 'auto' picks cluster at m >= 16384."""
+    S, Tg, Ti, T_true = _pair(n=3000)
+    d = register_sgd(S, Tg, Ti, jax.random.key(5), minibatch=256,
+                     iterations=40, nn_method="dense", tolerance=1e-8)
+    c = register_sgd(S, Tg, Ti, jax.random.key(5), minibatch=256,
+                     iterations=40, nn_method="cluster", tolerance=1e-8)
+    np.testing.assert_allclose(np.asarray(c.T), np.asarray(d.T),
+                               rtol=0, atol=1e-9)
+    assert _err(c.T[0], T_true) < 1e-4
