@@ -216,3 +216,33 @@ def test_multiscale_on_chip():
     assert err_of(ms.result.T[0]) < 5e-4, err_of(ms.result.T[0])
     assert err_of(res.T[0]) < 5e-4
     assert (float(ms.level_iterations[-1, 0]) <= float(res.iterations[0]))
+
+
+def test_sgd_icp_on_chip():
+    """Stochastic mini-batch GN (f32, compiled, cluster backend at 20k):
+    pose recovery near the f32 floor with O(k*m) -> O(k*probes*group)
+    per-iteration correspondence cost."""
+    from dicp_tpu import se3
+    from dicp_tpu.sgd_icp import register_sgd
+
+    from benchmarks.bench_suite import _make_scene
+
+    n = 20_000
+    target = jnp.asarray(_make_scene(n))
+    xi = np.array([0.1, -0.08, 0.05, 0.04, -0.03, 0.05], np.float64)
+    T_np = np.asarray(se3.vec2tran(
+        jnp.asarray(xi.astype(np.float32)))).astype(np.float64)
+    # host-f64 source generation (bf16 matmul trap, BENCH.md)
+    source = jnp.asarray(
+        (np.asarray(target[:, :3], np.float64) @ T_np[:3, :3].T
+         + T_np[:3, 3]).astype(np.float32))
+    T_true = se3.tran_inv(jnp.asarray(T_np.astype(np.float32)))
+
+    res = jax.jit(lambda s, t, ti, k: register_sgd(
+        s[None], t[None], ti[None], k, minibatch=1024, iterations=40,
+        tolerance=1e-5))(source, target, jnp.eye(4, dtype=jnp.float32),
+                         jax.random.key(0))
+    err = float(jnp.linalg.norm(se3.tran2vec(
+        se3.compose(T_true, se3.tran_inv(res.T[0])))))
+    assert err < 5e-4, err
+    assert bool(res.converged[0])
