@@ -513,28 +513,34 @@ def bench_pipeline():
                         trim_dist=1.0, loss_name="huber", loss_metric=0.5,
                         nn_method="cluster")
 
-    def run_streamed(shift, W):
+    def run_streamed(shift, W, warm):
         ds = ScanDataset.from_dir(tmpdir2, max_points=61440, voxel=None,
                                   workers=4, prefetch=4)
         gen = ((pts[:, :3] + shift, w) for pts, w in ds)
-        res = stream_odometry(gen, raw_cfg, window=W)
+        res = stream_odometry(gen, raw_cfg, window=W, warm_start=warm)
         return np.asarray(res.rel_transforms)   # host fetch: forces all work
 
     shift_n = 0
-    for W in (4, 8):
-        run_streamed(np.float32(0), W)          # compile + warm
+    # W=1 + warm start (constant-velocity prior) is the production serving
+    # mode; the windowed rows quantify that batching LOSES on raw 60k scans
+    # (the loop is device-compute-bound and dispatches are already async, so
+    # a window only adds the max-iteration sync across its pairs).
+    for W, warm in ((1, True), (4, True), (8, True), (8, False)):
+        run_streamed(np.float32(0), W, warm)    # compile + warm
         best, err = float("inf"), None
         for _ in range(2):
             shift_n += 1
             t0 = time.time()
-            rels = run_streamed(np.float32(shift_n * 1e-7), W)
+            rels = run_streamed(np.float32(shift_n * 1e-7), W, warm)
             dt = time.time() - t0
             best = min(best, dt)
         err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
             jnp.asarray(r @ step_inv)))) for r in rels]))
-        results[f"streamW{W}"] = (S2 / best, err)
-        _emit(f"pipeline_stream_window{W}", S2 / best, "frames/s",
-              rel_err=err, scans=S2, raw_pts=60_000, window=W)
+        tag = f"streamW{W}" + ("" if warm else "_cold")
+        results[tag] = (S2 / best, err)
+        _emit(f"pipeline_stream_window{W}" + ("" if warm else "_cold"),
+              S2 / best, "frames/s", rel_err=err, scans=S2, raw_pts=60_000,
+              window=W, warm_start=warm)
 
     # headline = fastest setting that meets the 1e-3 accuracy bound
     ok = [(tag, f, e) for tag, (f, e) in results.items() if e <= 1e-3]

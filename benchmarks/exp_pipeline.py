@@ -102,6 +102,25 @@ def run_full(tmpdir, shift):
     return np.asarray(jnp.stack(rels))
 
 
+def run_warm(tmpdir, shift):
+    """Per-pair loop with a constant-velocity warm start: T_init for pair k
+    is pair k-1's solution (a device future — no host fetch, dispatches stay
+    async).  Odometry scans are consecutive, so rel_k ~= rel_{k-1}."""
+    prev = None
+    t_init = jnp.eye(4, dtype=jnp.float32)[None]
+    rels = []
+    for pts_np, w_np in ds_iter(tmpdir):
+        cur = jnp.asarray(pts_np[:, :3] + shift)
+        w = jnp.asarray(w_np)
+        if prev is not None:
+            res = register_jit(cur[None], prev[0][None], t_init,
+                               w[None], cfg=CFG)
+            rels.append(res.T[0])
+            t_init = res.T
+        prev = (cur, w)
+    return np.asarray(jnp.stack(rels))
+
+
 def run_batched(tmpdir, shift, K):
     """Sliding-window batching: buffer K+1 scans host-side, solve K pairs
     in one batched dispatch."""
@@ -160,6 +179,23 @@ def main():
             fn = run_xfer
         elif mode == "full":
             fn = run_full
+        elif mode == "warm":
+            fn = run_warm
+        elif mode.startswith("aa"):
+            # Anderson-accelerated serving loop: same per-pair dispatch as
+            # `full` but the while driver mixes the last m iterates —
+            # fewer GN iterations per pair (the loop is device-bound on
+            # raw 60k scans, so iterations ~ time).
+            m = int(mode[2:] or 3)
+
+            def fn(d, s, m=m):
+                global CFG
+                saved = CFG
+                try:
+                    CFG = CFG.with_(anderson_m=m, collect_histories=False)
+                    return run_full(d, s)
+                finally:
+                    CFG = saved
         elif mode.startswith("batch"):
             K = int(mode[5:])
             fn = lambda d, s, K=K: run_batched(d, s, K)
@@ -178,7 +214,7 @@ def main():
             out = fn(tmpdir, np.float32(shift_n * 1e-7))
             dt = time.time() - t0
             best = min(best, dt)
-            if (mode == "full" or mode.startswith("batch")
+            if (mode in ("full", "warm") or mode.startswith("batch")
                     or mode.startswith("stream")):
                 err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
                     jnp.asarray(r @ step_inv)))) for r in out]))

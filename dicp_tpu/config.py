@@ -100,10 +100,13 @@ class ICPConfig:
     # ONE kernel, every iterate living in VMEM.  The XLA while driver
     # launches ~15-25 fused kernels per GN iteration (~110 us/iter at B=256
     # on 65-point pairs — dispatch/fusion-bound, not FLOP-bound; BENCH.md).
-    # None = auto (currently OFF pending on-chip verification; will mean
-    # "TPU backend + eligible config: while driver, histories off, hard
-    # dense NN, n<=256/m<=512"); True forces (interpret mode off-TPU —
-    # tests), False disables.
+    # None = auto = OFF: the on-chip A/B (benchmarks/exp_fused_gn.py,
+    # 2026-08-19, v5e) measured the fused kernel SLOWER than the XLA while
+    # driver — forward-only 1.89 ms vs 0.76 ms, IFT fwd+bwd 2.50 ms vs
+    # 1.58 ms at B=256, raw kernel ~1.8 ms across bt=8/16 (bt>=32 exceeds
+    # VMEM).  The Mosaic loop serializes work XLA overlaps across fusions,
+    # so the dispatch savings never materialize.  Kept for parity tests
+    # (True forces; interpret mode off-TPU), False disables.
     fused_small: Optional[bool] = None
     # Normal-equation solve: 'closed' = pivot-free Cramer/Schur closed form
     # (fuses to VPU elementwise ops; valid because A is SPD), 'lu' = XLA's

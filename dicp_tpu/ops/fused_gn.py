@@ -460,8 +460,10 @@ def fused_eligible(cfg: ICPConfig, source, target, key) -> bool:
         and cfg.resolved_nn_method(n, m, jax.default_backend() == "cpu") == "dense"
     )
     if cfg.fused_small is None:
-        # Auto stays OFF until the kernel's on-chip win is verified on the
-        # attached hardware (tunnel down at commit time); flip to
-        # ``ok and jax.default_backend() != "cpu"`` once measured.
+        # Auto is OFF permanently: the on-chip A/B (exp_fused_gn.py,
+        # 2026-08-19) measured the fused kernel SLOWER than the XLA while
+        # driver (forward 1.89 vs 0.76 ms, IFT fwd+bwd 2.50 vs 1.58 ms at
+        # B=256) — the Mosaic loop serializes work XLA overlaps, so the
+        # dispatch savings never materialize.  See config.fused_small.
         return False
     return ok

@@ -44,18 +44,21 @@ from dicp_tpu.registration import register
 @functools.partial(jax.jit, static_argnames=("cfg", "n_pairs"))
 def _window_solve(scans: Tuple[jnp.ndarray, ...],
                   weights: Tuple[jnp.ndarray, ...],
+                  t_init: jnp.ndarray,
                   cfg: ICPConfig, n_pairs: int):
     """Solve the n_pairs consecutive pairs of a (n_pairs+1)-scan window in
     one XLA program.  scans/weights are tuples of (n, c) / (n,) arrays —
     passing them unstacked means the host never pays a stacking dispatch
-    and each scan crossed the host->device link exactly once."""
+    and each scan crossed the host->device link exactly once.  ``t_init``
+    (4, 4) seeds every pair of the window (identity, or the previous
+    window's last relative transform under the constant-velocity prior)."""
     pts = jnp.stack(scans)                      # (K+1, n, c)
     w = jnp.stack(weights[1:])                  # (K, n)
     src = pts[1:, :, :3]
     tgt = pts[:-1]
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=pts.dtype), (n_pairs, 4, 4))
+    ti = jnp.broadcast_to(t_init.astype(pts.dtype), (n_pairs, 4, 4))
     with jax.default_matmul_precision("float32"):
-        res = register(src, tgt, eye, w, cfg)
+        res = register(src, tgt, ti, w, cfg)
     return res.T, res.converged, res.iterations
 
 
@@ -63,6 +66,7 @@ def stream_registrations(
     scans: Iterable[Tuple[np.ndarray, np.ndarray]],
     cfg: ICPConfig = ICPConfig(),
     window: int = 8,
+    warm_start: bool = True,
 ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Register consecutive scan pairs from a stream, window at a time.
 
@@ -73,19 +77,33 @@ def stream_registrations(
     (or only at the end) keeps multiple windows in flight on the device
     while the host prepares the next one.
 
+    ``warm_start`` (the constant-velocity odometry prior): seed each
+    dispatch's T_init with the latest solved relative transform instead of
+    identity — consecutive scans move nearly alike, so the solver starts
+    ~one step from its fixed point.  The seed is a device future; no host
+    fetch enters the loop, so dispatches stay fully async.  Measured
+    (benchmarks/exp_pipeline.py, raw 60k-pt scans, v5e): per-pair 44.6 fps
+    warm vs 18.2 cold, and *more* accurate (4.0e-7 vs 7.8e-7 rel err — the
+    fixed point is closer so fewer large steps).  With ``window > 1`` the
+    whole next window is seeded by the previous window's last transform.
+
     A ragged tail (< window pairs) is padded by repeating the last scan so
     the solver sees one compiled shape; pad pairs are self-registrations
     (converge immediately) and are sliced off before yielding.
     """
     dev_scans: List[jnp.ndarray] = []
     dev_w: List[jnp.ndarray] = []
+    t_seed = jnp.eye(4, dtype=jnp.float32)
 
     def flush():
+        nonlocal t_seed
         k = len(dev_scans) - 1
         pad = window - k
         s = tuple(dev_scans) + (dev_scans[-1],) * pad
         w = tuple(dev_w) + (dev_w[-1],) * pad
-        T, conv, iters = _window_solve(s, w, cfg, window)
+        T, conv, iters = _window_solve(s, w, t_seed, cfg, window)
+        if warm_start:
+            t_seed = T[k - 1]   # device future — no host sync
         return T[:k], conv[:k], iters[:k]
 
     for pts_np, w_np in scans:
@@ -105,15 +123,17 @@ def stream_odometry(
     scans: Iterable[Tuple[np.ndarray, np.ndarray]],
     cfg: ICPConfig = ICPConfig(),
     window: int = 8,
+    warm_start: bool = True,
 ) -> OdometryResult:
     """Run the streaming pipeline to completion and compose the trajectory.
 
     Only the final pose composition fetches from the device: all windows
     are dispatched back-to-back, overlapping host preprocessing with
-    device solves.
+    device solves.  ``window=1`` with ``warm_start`` is the measured-fastest
+    serving mode on raw 60k-point scans (see :func:`stream_registrations`).
     """
     rels, convs, iters = [], [], []
-    for T, c, it in stream_registrations(scans, cfg, window):
+    for T, c, it in stream_registrations(scans, cfg, window, warm_start):
         rels.append(T)
         convs.append(c)
         iters.append(it)

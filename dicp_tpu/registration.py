@@ -193,11 +193,13 @@ def _make_corr_fn(cfg: ICPConfig, source, target, C0, r0):
             lax.stop_gradient(target[..., :3]))
 
         def corr(ps_t):
-            # fused=False like use_pallas=False: the fused kernel under
-            # vmap is unvalidated on-chip — XLA path here until A/B'd
+            # fused=None (auto: v2 kernel on TPU): validated under vmap on
+            # chip 2026-08-19 (benchmarks/exp_vmap_fused.py — bit-identical
+            # selection vs the XLA path at B=8 x 60k, and ~6% faster);
+            # use_pallas=False keeps the slower v1 kernel out.
             idx, _, cert = jax.vmap(
                 lambda ix, q: cluster_nn(ix, q, probes=cfg.cluster_probes,
-                                         use_pallas=False, fused=False,
+                                         use_pallas=False,
                                          fixup=cfg.resolved_cluster_fixup(n)))(
                 index, lax.stop_gradient(ps_t))
             return (knn.gather_rows(target, idx),

@@ -25,7 +25,11 @@ def test_stream_matches_batched_odometry(target_np):
     scans, _ = _make_sequence(target_np, n_scans=8)
     ref = odometry(scans, CFG)
     for window in (3, 8, 16):    # 7 pairs: multi-window + tail, exact, pad
-        out = stream_odometry(_as_stream(scans), CFG, window=window)
+        # warm_start=False: the exactness contract is identity-init == the
+        # batched odometry solve; the warm-start prior (default) reaches the
+        # same fixed point in fewer iterations but not bitwise-identically.
+        out = stream_odometry(_as_stream(scans), CFG, window=window,
+                              warm_start=False)
         np.testing.assert_allclose(np.asarray(out.rel_transforms),
                                    np.asarray(ref.rel_transforms), atol=1e-12)
         np.testing.assert_allclose(np.asarray(out.poses),
@@ -50,6 +54,27 @@ def test_stream_registrations_window_boundaries(target_np):
         err = np.linalg.norm(np.asarray(se3.tran2vec(
             jnp.asarray(np.asarray(rel[i]) @ np.linalg.inv(T_true)))))
         assert err < 1e-8
+
+
+def test_stream_warm_start_same_fixed_point(target_np):
+    """The constant-velocity warm start (default) reaches the same relative
+    transforms as identity init — to solver tolerance, in no MORE total
+    iterations — for per-pair (window=1) and windowed dispatch."""
+    scans, poses_true = _make_sequence(target_np, n_scans=8)
+    cold = stream_odometry(_as_stream(scans), CFG, window=4, warm_start=False)
+    for window in (1, 4):
+        warm = stream_odometry(_as_stream(scans), CFG, window=window,
+                               warm_start=True)
+        for i in range(7):
+            err = np.linalg.norm(np.asarray(se3.tran2vec(jnp.asarray(
+                np.asarray(warm.rel_transforms[i])
+                @ np.linalg.inv(np.asarray(cold.rel_transforms[i]))))))
+            assert err < 1e-6, (window, i, err)
+        assert bool(np.all(np.asarray(warm.converged)))
+        # the prior must not SLOW convergence (this sequence moves smoothly)
+        assert (np.asarray(warm.iterations).sum()
+                <= np.asarray(cold.iterations).sum()), (
+            np.asarray(warm.iterations), np.asarray(cold.iterations))
 
 
 def test_stream_needs_two_scans(target_np):

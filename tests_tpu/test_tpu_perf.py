@@ -130,14 +130,22 @@ def test_streaming_gumbel_on_chip():
     from dicp_tpu import knn
 
     rng = np.random.default_rng(9)
-    y = jnp.asarray(rng.uniform(-10, 10, (5000, 6)).astype(np.float32))
-    x = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    # Coordinates scaled so nn-separation >> the Gumbel noise scale: the
+    # tau->0 one-hot sits at argmax(-d2 + g) with g ~ Gumbel(0,1), so it
+    # equals hard NN only when d2 gaps dominate g.  The original +-10 box
+    # (nn d2 gap ~0.4 vs logistic-noise std ~1.8) gives ~23% agreement BY
+    # THE MATH — identical 0.2305 measured on CPU f64 and on chip — so low
+    # agreement there was a property of the distribution, not a TPU bug.
+    y = jnp.asarray(rng.uniform(-300, 300, (5000, 6)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-300, 300, (512, 3)).astype(np.float32))
     key = jax.random.key(0)
     out = knn.gumbel_nn(x, y, key, tau=1e-3, chunk=512)   # streaming path
     hard = knn.hard_nn(x, y)
     agree = float(jnp.mean((jnp.linalg.norm(
-        out[..., :3] - hard[..., :3], axis=-1) < 1e-3).astype(jnp.float32)))
-    assert agree > 0.99, agree
+        out[..., :3] - hard[..., :3], axis=-1) < 1e-2).astype(jnp.float32)))
+    # numpy estimate at this separation: ~0.998 expected agreement; 0.97
+    # leaves room for the backend-specific noise realization
+    assert agree > 0.97, agree
 
 
 def test_fused_cluster_kernel_exact_on_chip():
