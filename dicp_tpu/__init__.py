@@ -32,6 +32,8 @@ from dicp_tpu.config import ICPConfig, config_from_yaml
 from dicp_tpu.gicp import (GICPResult, register_gicp, register_gicp_ift,
                            register_gicp_jit)
 from dicp_tpu.ift import register_ift, register_ift_jit
+from dicp_tpu.mapping import (LocalMap, empty_map, map_merge, map_step,
+                              map_target, scan_to_map_odometry)
 from dicp_tpu.multiscale import (MultiscaleResult, ScaleLevel,
                                  register_multiscale)
 from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_knn,
@@ -61,6 +63,12 @@ __all__ = [
     "register_gicp",
     "register_gicp_ift",
     "register_gicp_jit",
+    "LocalMap",
+    "empty_map",
+    "map_merge",
+    "map_step",
+    "map_target",
+    "scan_to_map_odometry",
     "MultiscaleResult",
     "ScaleLevel",
     "register",
