@@ -121,6 +121,15 @@ class ICPConfig:
     # iterate sequence has no reference-contract history semantics).
     anderson_m: int = 0
     anderson_cap: float = 5.0
+    # v2 fused cluster kernel INSIDE the map-sharded shard_map body
+    # (parallel/sharding).  None = auto = follow cluster_nn's own backend
+    # rule (ON for TPU, interpret-mode on CPU); False pins the XLA
+    # candidate path (the pre-round-5 default, kept for A/B); True forces.
+    # Unpinned in round 5: parity is exact on the 8-virtual-device CPU mesh
+    # (tests/test_parallel.py::test_map_sharded_fused_parity) and on-chip
+    # inside a real shard_map (benchmarks/exp_shardmap_fused.py: 45.2 ms vs
+    # 50.9 ms XLA per sharded 100k solve, pose diff 0.0, 2026-08-20).
+    sharded_fused: Optional[bool] = None
 
     def __post_init__(self):
         if self.icp_type not in ("pt2pt", "pt2pl", "symmetric"):

@@ -126,8 +126,13 @@ def _local_nn_idx(cfg: ICPConfig, ps_t, tgt, axis=None):
         from dicp_tpu.registration import _certified_gate
 
         cl_index = build_cluster_index(tgt_pts, cfg.cluster_group)
-        # fused=False like use_pallas=False: stay on XLA inside shard_map
-        # until the Pallas kernel is A/B'd on-chip in this combination
+        # fused=False is STRUCTURAL here (not a pending A/B): this runs
+        # inside the backward shard_map whose VMA-typed autodiff (lax.pcast,
+        # auto-psum of the replicated-target cotangent) requires
+        # check_vma=True, and pallas_call cannot declare varying-mesh-axes
+        # outputs under that checker.  The forward solve's fused kernel
+        # (cfg.sharded_fused, parallel/sharding.py) selects identical
+        # indices, so gradients are unaffected.
         idx, _, cert = cluster_nn(cl_index, q, probes=cfg.cluster_probes,
                                   use_pallas=False, fused=False,
                                   fixup=cfg.resolved_cluster_fixup(q.shape[0]))

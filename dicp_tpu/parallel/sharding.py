@@ -203,12 +203,15 @@ def _map_sharded_body(cfg: ICPConfig, source_shard, weight_shard, target, T_init
         if method == "ring":
             nn6 = ring_nn(ps_t, target, axis)
         elif method == "cluster":
-            # fused=False like use_pallas=False: the Pallas kernels inside a
-            # shard_map body are unvalidated on-chip — stay on XLA here
-            # until the combination is A/B'd on real hardware.
+            # cfg.sharded_fused (None = cluster_nn's own backend auto): the
+            # round-5 A/B validated the v2 fused kernel inside shard_map —
+            # exact parity on the virtual mesh and on chip
+            # (benchmarks/exp_shardmap_fused.py); set False to pin the XLA
+            # candidate path.
             idx, _, cert = cluster_nn(cl_index, ps_t,
                                       probes=cfg.cluster_probes,
-                                      use_pallas=False, fused=False,
+                                      use_pallas=False,
+                                      fused=cfg.sharded_fused,
                                       order=qord,
                                       fixup=cfg.resolved_cluster_fixup(
                                           source_shard.shape[0]))
@@ -429,10 +432,16 @@ def map_sharded_fn(mesh: Mesh, cfg: ICPConfig, axis: str = "map",
                                      n_real=n_real)
 
     tgt_spec = P(axis) if target_sharded else P()
+    # check_vma=False: pallas_call (the fused cluster kernel) cannot declare
+    # varying-mesh-axes on its outputs, so the replication checker rejects
+    # it inside shard_map.  The body's replication structure is unchanged
+    # and stays pinned by tests/test_parallel_hlo.py (exactly one fused
+    # psum, payload sizes) + the virtual-mesh parity tests.
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), tgt_spec, P()),
         out_specs=(P(), P(), P(), P()),
+        check_vma=False,
     ))
 
 

@@ -239,6 +239,28 @@ def test_map_sharded_cluster_matches_dense(source_np, target_np):
     assert _err(_t_true(), np.asarray(res_c.T)) < 1e-7
 
 
+def test_map_sharded_fused_parity(source_np, target_np):
+    """The v2 fused cluster kernel INSIDE the shard_map body (round-5
+    unpin, VERDICT r4 #6): forcing cfg.sharded_fused=True (interpret-mode
+    Pallas on this CPU mesh) must reproduce the pinned XLA candidate
+    path exactly — pose, convergence, and iteration count."""
+    mesh = make_mesh((1, 8))
+    base = ICPConfig(icp_type="pt2pl", differentiable=False,
+                     max_iterations=50, tolerance=1e-10, dim=2,
+                     trim_dist=5.0, loss_name="huber", loss_metric=1.0,
+                     nn_method="cluster", cluster_group=16, cluster_probes=8)
+    res_x = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                                 jnp.asarray(target_np),
+                                 cfg=base.with_(sharded_fused=False))
+    res_f = register_map_sharded(mesh, jnp.asarray(source_np[:, :3]),
+                                 jnp.asarray(target_np),
+                                 cfg=base.with_(sharded_fused=True))
+    np.testing.assert_allclose(np.asarray(res_f.T), np.asarray(res_x.T),
+                               atol=1e-12)
+    assert float(res_f.iterations) == float(res_x.iterations)
+    assert bool(res_f.converged) == bool(res_x.converged)
+
+
 def test_map_sharded_ift_gradients_match_unrolled(source_np, target_np):
     """IFT backward for the map-sharded solver (VERDICT r2 #2): gradients
     from the one-solve fixed-point adjoint must match unrolling reverse-mode
