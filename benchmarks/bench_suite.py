@@ -14,7 +14,8 @@ See bench.py for the calibration (a chained 8192^3 matmul measures 116 TF/s
 = 59% of the v5e bf16 peak — physically sane).
 
 Usage: python benchmarks/bench_suite.py [name ...]
-Names: svd_pair, pt2pl_pair, batch256, large_cloud, normals, odometry, capacity, pipeline
+Names: svd_pair, pt2pl_pair, batch256, large_cloud, normals, odometry,
+capacity, pipeline, scan_to_map
 """
 
 import json
@@ -550,6 +551,141 @@ def bench_pipeline():
           chosen=tag)
 
 
+def _wavy_sequence(S, n, step_xi, seed=0, noise=0.0):
+    """S scans of a wavy 60k-pt surface along a constant-step trajectory,
+    generated host-side in f64 (device matmuls default to bf16 and corrupt
+    ground truth — BENCH.md methodology)."""
+    from dicp_tpu import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-20, 20, (n, 3))
+    base[:, 2] = (np.sin(base[:, 0] * 0.35) * np.cos(base[:, 1] * 0.3) * 2.0)
+    if noise:
+        base = base + rng.normal(scale=noise, size=base.shape)
+    step_T = np.asarray(se3.vec2tran(jnp.asarray(
+        np.array(step_xi, np.float32)))).astype(np.float64)
+    scans, poses = [], []
+    T = np.eye(4)
+    for _ in range(S):
+        Ti = np.linalg.inv(T)
+        scans.append((base @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32))
+        poses.append(T.astype(np.float32).copy())
+        T = T @ step_T
+    return scans, np.stack(poses), step_T.astype(np.float32)
+
+
+def bench_scan_to_map():
+    """Scan-to-map odometry at serving scale (VERDICT r4 #1): 60k-pt raw
+    scans against a 65k-cap fused voxel map.
+
+    Rows:
+      scan_to_map_60k        — host-loop fps (the real serving shape: one
+                               map_step dispatch per scan, poses fetched at
+                               the end so no device work can be skipped)
+                               + final-pose error vs ground truth
+      scan_to_map_60k_step   — device cost per scan (chained lax.scan with
+                               the map as carry — genuinely dependent), with
+                               phase attribution: merge cost from an
+                               insert=False chain, per-GN-iteration cost
+                               from const_iter differencing (10 vs 20)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.mapping import empty_map, map_merge, map_step
+    from dicp_tpu.odometry import ate
+    from dicp_tpu.mapping import scan_to_map_odometry
+
+    S, n, cap, voxel = 12, 60_000, 65_536, 0.25
+    scans, poses_true, step_T = _wavy_sequence(
+        S, n, (0.06, 0.03, 0.01, 0.004, 0.002, 0.015))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False, max_iterations=30,
+                    tolerance=1e-6, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=0.5, nn_method="cluster",
+                    collect_histories=False)
+
+    # --- device step cost, chained (map carried through the scan) ---
+    import sys
+    scans_j = jnp.asarray(np.stack(scans))          # (S, n, 3)
+    step_j = jnp.asarray(step_T)
+
+    def chain(insert, cfg_c):
+        @jax.jit
+        def f(scans, off):
+            m0 = map_merge(empty_map(cap), scans[0] + off * 1e-7, voxel,
+                           with_normals=True, mode="mean")
+
+            def body(carry, scan):
+                m, pose = carry
+                t_pred = se3.compose(pose, step_j)
+                p2, cv, it, m2 = map_step(m, scan, t_pred, None, cfg_c,
+                                          voxel, insert=insert,
+                                          merge_mode="mean")
+                return (m2, p2), it
+
+            (m, pose), its = lax.scan(body, (m0, jnp.eye(4, dtype=jnp.float32)),
+                                      scans[1:])
+            return (jnp.sum(pose) + jnp.sum(m.pos) * 1e-9
+                    + jnp.sum(its.astype(jnp.float32)) * 1e-6)
+        return f
+
+    def timed(insert, cfg_c, k_small=3, k_big=S):
+        out = {}
+        for K in (k_small, k_big):
+            f = chain(insert, cfg_c)
+            sl = scans_j[:K]
+            t0 = time.perf_counter()
+            float(f(sl, jnp.float32(0.0)))  # compile
+            print(f"# step compile insert={insert} K={K}: "
+                  f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+            best = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                float(f(sl, jnp.float32(rep + 1)))
+                best = min(best, time.perf_counter() - t0)
+            out[K] = best
+        return (out[k_big] - out[k_small]) / (k_big - k_small)
+
+    cfg10 = cfg.with_(const_iter=True, max_iterations=10)
+    cfg20 = cfg.with_(const_iter=True, max_iterations=20)
+    dt_full = timed(True, cfg10)     # solve(10 it) + merge
+    dt_solve = timed(False, cfg10)   # solve(10 it) only
+    merge_ms = (dt_full - dt_solve) * 1e3
+    _emit("scan_to_map_60k_step", dt_full * 1e3, "ms/scan",
+          merge_ms=round(merge_ms, 3),
+          solve10_ms=round(dt_solve * 1e3, 3),
+          note="const_iter=10 chained; merge = full - insert_off")
+    dt_solve20 = timed(False, cfg20)
+    per_iter = max(0.0, (dt_solve20 - dt_solve) / 10.0)
+    _emit("scan_to_map_gn_iter", per_iter * 1e3, "ms/iteration",
+          note="const_iter 20-vs-10 differencing, 60k scan vs 65k-cap map")
+
+    # --- host-loop serving fps (wall clock; poses fetched at the end) ---
+    def run(shift):
+        res = scan_to_map_odometry(
+            ((s + shift, None) for s in scans), cfg,
+            capacity=cap, voxel=voxel)
+        return np.asarray(res.poses), np.asarray(res.converged)
+
+    run(np.float32(0.0))  # compile + warm
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        poses, conv = run(np.float32((rep + 1) * 1e-7))
+        best = min(best, time.time() - t0)
+    err = float(np.linalg.norm(np.asarray(se3.tran2vec(jnp.asarray(
+        np.linalg.inv(poses_true[-1].astype(np.float64))
+        @ poses[-1].astype(np.float64))))))
+    traj = float(ate(jnp.asarray(poses), jnp.asarray(poses_true), align=False))
+    _emit("scan_to_map_60k", S / best, "frames/s", final_pose_err=err,
+          ate=traj, scans=S, raw_pts=n, map_cap=cap, voxel=voxel,
+          all_converged=bool(conv.all()))
+
+
 ALL = {
     "svd_pair": bench_svd_pair,
     "pt2pl_pair": bench_pt2pl_pair,
@@ -559,6 +695,7 @@ ALL = {
     "odometry": bench_odometry,
     "capacity": bench_capacity,
     "pipeline": bench_pipeline,
+    "scan_to_map": bench_scan_to_map,
 }
 
 
