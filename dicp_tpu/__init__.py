@@ -42,6 +42,8 @@ from dicp_tpu.ops.normals import estimate_normals, estimate_normals_weighted
 from dicp_tpu.pipeline import stream_odometry, stream_registrations
 from dicp_tpu.registration import ICPResult, register, register_jit
 from dicp_tpu.sgd_icp import SGDICPResult, register_sgd, register_sgd_jit
+from dicp_tpu.slam import (Closure, SlamResult, build_pose_graph,
+                           rebuild_map, refine_robust, slam_odometry)
 from dicp_tpu.svd_icp import pt2pt_svd_icp
 
 __version__ = "0.1.0"
@@ -81,6 +83,12 @@ __all__ = [
     "SGDICPResult",
     "register_sgd",
     "register_sgd_jit",
+    "Closure",
+    "SlamResult",
+    "build_pose_graph",
+    "rebuild_map",
+    "refine_robust",
+    "slam_odometry",
     "stream_odometry",
     "stream_registrations",
     "__version__",

@@ -246,3 +246,54 @@ def test_sgd_icp_on_chip():
         se3.compose(T_true, se3.tran_inv(res.T[0])))))
     assert err < 5e-4, err
     assert bool(res.converged[0])
+
+
+def test_slam_loop_on_chip():
+    """Closed-loop SLAM (front-end + keyframe closures + robust pose-graph
+    back-end) end-to-end compiled on the real chip in f32: closures must
+    fire on a revisit and refinement must reduce the loop-closure error.
+    Small shapes — the contract here is that the composition compiles and
+    behaves, not throughput (that is benchmarks/bench_suite.py scan_to_map
+    and tests/test_slam.py's 5x ATE contract on the CPU lane)."""
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.slam import slam_odometry
+
+    rng = np.random.default_rng(5)
+    R, per_lap, laps, n = 5.0, 16, 2, 1024
+    w = np.empty((20000, 3))
+    w[:, 0] = rng.uniform(-R - 8, R + 8, 20000)
+    w[:, 1] = rng.uniform(-R - 8, R + 8, 20000)
+    w[:, 2] = np.sin(w[:, 0] * 0.6) * np.cos(w[:, 1] * 0.5) * 1.5
+    scans, poses_true = [], []
+    for k in range(laps * per_lap + 1):
+        th = 2 * np.pi * k / per_lap
+        t = np.array([R * np.cos(th), R * np.sin(th), 0.0])
+        c, s = np.cos(th + np.pi / 2), np.sin(th + np.pi / 2)
+        Rm = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T = np.eye(4); T[:3, :3] = Rm; T[:3, 3] = t
+        d = np.linalg.norm(w[:, :2] - t[None, :2], axis=1)
+        idx = np.flatnonzero(d < 6.0)
+        sel = rng.choice(idx, n, replace=len(idx) < n)
+        local = ((w[sel] - t) @ Rm
+                 + rng.normal(scale=0.03, size=(n, 3)))
+        scans.append(local.astype(np.float32))
+        poses_true.append(T)
+    P = np.stack(poses_true)
+    poses_true = np.einsum("ij,kjl->kil", np.linalg.inv(P[0]), P)
+
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False,
+                    max_iterations=40, tolerance=1e-4, dim=3, trim_dist=2.0,
+                    loss_name="huber", loss_metric=0.5,
+                    collect_histories=False)
+    res = slam_odometry(((s, None) for s in scans), cfg,
+                        capacity=1024, voxel=0.25, anchor_every=4,
+                        closure_gap=12, detect_every=2, detect_radius=5.0,
+                        accept_ratio=0.5, max_closures=20,
+                        closure_info=30.0, refine_iterations=10)
+    assert len(res.closures) >= 1
+    ef = np.linalg.norm(np.asarray(res.poses_front[-1][:3, 3])
+                        - poses_true[-1][:3, 3])
+    er = np.linalg.norm(np.asarray(res.poses[-1][:3, 3])
+                        - poses_true[-1][:3, 3])
+    assert np.isfinite(er)
+    assert er <= ef + 1e-3, (er, ef)
