@@ -15,7 +15,7 @@ See bench.py for the calibration (a chained 8192^3 matmul measures 116 TF/s
 
 Usage: python benchmarks/bench_suite.py [name ...]
 Names: svd_pair, pt2pl_pair, batch256, large_cloud, normals, odometry,
-capacity, pipeline, scan_to_map
+capacity, pipeline, scan_to_map, solvers
 """
 
 import json
@@ -418,6 +418,77 @@ def bench_odometry():
           all_converged=bool(jnp.all(res.converged)))
 
 
+def bench_solvers():
+    """Solver-zoo rows (VERDICT r4 #5) — the numbers behind the 'which
+    solver when' table in BENCH.md.  GICP / SGD-vs-full / multiscale rows
+    delegate to the focused exp_ modules (same row format); the AA rows
+    and the AA-forward + IFT-backward composition profile (the TODO at
+    anderson.py:23-26) are measured here."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks import exp_gicp, exp_multiscale, exp_sgd
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.ift import register_ift
+    from dicp_tpu.registration import register
+
+    exp_gicp.main()
+    exp_sgd.main()
+    exp_multiscale.main()
+
+    # --- Anderson acceleration on the linear-rate pt2pt fixed point ---
+    scan, mp = _pair()
+    src1 = jnp.asarray(scan[None, :, :3])
+    tgt1 = jnp.asarray(mp[None])
+    ti1 = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    base = ICPConfig(icp_type="pt2pt", differentiable=False,
+                     max_iterations=100, tolerance=1e-6, dim=2,
+                     trim_dist=5.0, loss_name="huber", loss_metric=1.0,
+                     collect_histories=False)
+    for m, tag in ((0, "aa_off"), (3, "aa_m3")):
+        cfg = base.with_(anderson_m=m)
+
+        def step(s, tgt, ti, _c=cfg):
+            res = register(s, tgt, ti, None, _c)
+            return jnp.sum(res.T) + res.iterations[0] * 1e-9
+
+        res = jax.jit(lambda s, t, ti, _c=cfg: register(s, t, ti, None, _c))(
+            src1, tgt1, ti1)
+        dt = _chained_rate(step, src1, tgt1, ti1, k_small=4, k_big=16)
+        _emit(f"pt2pt_pair_{tag}", dt * 1e3, "ms/pair",
+              iterations=float(res.iterations[0]),
+              converged=bool(res.converged[0]))
+
+    # --- AA forward + IFT backward (anderson.py's deferred composition):
+    # headline B=256 pt2pl fwd+bwd with the AA driver as the fixed-point
+    # forward.  Gradients must match the plain-while forward's (same fixed
+    # point => same implicit linearization).
+    B = 256
+    srcB, tgtB, tiB = _batch_inputs(B)
+    cfgd = ICPConfig(icp_type="pt2pl", differentiable=True,
+                     max_iterations=100, tolerance=1e-6, dim=2,
+                     trim_dist=5.0, loss_name="huber", loss_metric=1.0)
+    grads = {}
+    for m, tag in ((0, "off"), (3, "m3")):
+        cfg = cfgd.with_(anderson_m=m)
+
+        def step(s, tgt, ti, _c=cfg):
+            val, grad = jax.value_and_grad(
+                lambda x: jnp.sum(register_ift(x, tgt, ti, None, _c).T))(s)
+            return val + jnp.sum(grad) * 1e-20
+
+        g = jax.jit(jax.grad(lambda x, _c=cfg: jnp.sum(
+            register_ift(x, tgtB, tiB, None, _c).T)))(srcB)
+        grads[tag] = np.asarray(g)
+        dt = _chained_rate(step, srcB, tgtB, tiB, k_small=4, k_big=12)
+        _emit(f"batch256_ift_aa_{tag}", B / dt, "registrations/s")
+    gdiff = float(np.max(np.abs(grads["m3"] - grads["off"]))
+                  / max(1e-12, float(np.max(np.abs(grads["off"])))))
+    _emit("aa_ift_grad_reldiff", gdiff, "max_rel",
+          note="AA fwd + IFT bwd vs while fwd + IFT bwd, same fixed point")
+
+
 def bench_pipeline():
     """End-to-end streaming odometry: disk -> native host preprocess (range
     filter + voxel hash-grid) -> prefetched host->device transfer -> TPU
@@ -696,6 +767,7 @@ ALL = {
     "capacity": bench_capacity,
     "pipeline": bench_pipeline,
     "scan_to_map": bench_scan_to_map,
+    "solvers": bench_solvers,
 }
 
 

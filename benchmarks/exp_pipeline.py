@@ -153,7 +153,7 @@ def run_batched(tmpdir, shift, K):
     return np.asarray(jnp.concatenate(rels))
 
 
-def run_stream(tmpdir, shift, W):
+def run_stream(tmpdir, shift, W, cfg=None):
     """The production pipeline (dicp_tpu.pipeline): one transfer per scan,
     one dispatch per W pairs, results fetched only at the end."""
     from dicp_tpu.pipeline import stream_odometry
@@ -162,7 +162,7 @@ def run_stream(tmpdir, shift, W):
         for pts_np, w_np in ds_iter(tmpdir):
             yield pts_np[:, :3] + shift, w_np
 
-    out = stream_odometry(gen(), CFG, window=W)
+    out = stream_odometry(gen(), cfg or CFG, window=W)
     return np.asarray(out.rel_transforms)
 
 
@@ -202,6 +202,15 @@ def main():
         elif mode.startswith("stream"):
             W = int(mode[6:])
             fn = lambda d, s, W=W: run_stream(d, s, W)
+        elif mode.startswith("ci"):
+            # const_iter serving (round 5): warm-started windows where
+            # every pair runs EXACTLY N GN iterations (scan driver, no
+            # cross-pair convergence sync — the measured reason windowed
+            # batching lost with the while driver).  ciN_wW.
+            ni, W = mode[2:].split("_w")
+            cfg_ci = CFG.with_(const_iter=True, max_iterations=int(ni),
+                               collect_histories=False)
+            fn = lambda d, s, W=int(W), c=cfg_ci: run_stream(d, s, W, c)
         else:
             raise SystemExit(f"unknown mode {mode}")
 

@@ -5,11 +5,14 @@ throughput; these tests pin FLOOR values well below the measured numbers
 (BENCH.md) with the chained methodology (dicp_tpu.utils.timing.chained_rate
 — the only truthful harness on the remote-attached runtime).
 
-Floors vs measured (so tunnel jitter cannot flake the lane):
+Floors vs measured (so tunnel jitter cannot flake the lane; tightened in
+round 5 per VERDICT r4 #7 — ~70% of the trailing minimum, so a 1.5x
+regression FAILS while tunnel jitter does not):
 
-  headline B=256 IFT fwd+bwd   >= 100k reg/s   (measured 155k-230k)
-  cluster 1-NN query @100k     <= 20 ms        (measured ~12 ms XLA path)
+  headline B=256 IFT fwd+bwd   >= 130k reg/s   (measured 152k-230k r2-r5)
+  cluster 1-NN query @100k     <= 12 ms        (measured 6.8-9.4 ms fused)
   pallas brute 1-NN @100k      <= 80 ms        (measured ~62 ms)
+  scan-to-map step @60k/65k    <= 110 ms/scan  (measured 75.7 ms r5)
 
 Also the on-chip correctness gaps VERDICT flagged: symmetric ICP and the
 streaming Gumbel soft-NN run compiled on the real chip.
@@ -25,7 +28,7 @@ from dicp_tpu.utils.timing import chained_rate
 
 
 def test_headline_throughput_floor(pair_f32):
-    """B=256 pt2pl IFT fwd+bwd must stay above 100k registrations/s."""
+    """B=256 pt2pl IFT fwd+bwd must stay above 130k registrations/s."""
     from dicp_tpu.config import ICPConfig
     from dicp_tpu.ift import register_ift
 
@@ -45,11 +48,11 @@ def test_headline_throughput_floor(pair_f32):
 
     dt = chained_rate(step, src, tgt, ti, k_small=4, k_big=12, reps=3)
     reg_s = B / dt
-    assert reg_s >= 100_000, f"headline regressed: {reg_s:.0f} reg/s"
+    assert reg_s >= 130_000, f"headline regressed: {reg_s:.0f} reg/s"
 
 
 def test_cluster_query_floor():
-    """100k x 100k cluster 1-NN query (order amortized) <= 20 ms."""
+    """100k x 100k cluster 1-NN query (order amortized) <= 12 ms."""
     from dicp_tpu.ops.cluster_knn import (build_cluster_index, cluster_nn,
                                           query_order)
 
@@ -72,7 +75,7 @@ def test_cluster_query_floor():
     dt = chained_rate(step, xj, index.points, index.centers, index.radius,
                       index.order, index.frame, qord,
                       k_small=2, k_big=6, reps=3)
-    assert dt <= 0.020, f"cluster query regressed: {dt*1e3:.1f} ms"
+    assert dt <= 0.012, f"cluster query regressed: {dt*1e3:.1f} ms"
 
 
 def test_pallas_knn_floor():
@@ -216,3 +219,63 @@ def test_fused_gn_parity_on_chip(pair_f32):
                                np.asarray(rx.iterations), atol=0)
     np.testing.assert_allclose(np.asarray(rf.matched_ratio),
                                np.asarray(rx.matched_ratio), atol=1e-5)
+
+
+def test_scan_to_map_step_floor():
+    """Chained scan-to-map step (60k-pt scan vs 65k-cap map, const_iter=10
+    solve + fused-voxel merge) <= 110 ms/scan (measured 75.7 ms: 58.5 solve
+    + 17.2 merge, benchmarks/bench_suite.py scan_to_map)."""
+    from jax import lax
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.mapping import empty_map, map_merge, map_step
+
+    S, n, cap, voxel = 8, 60_000, 65_536, 0.25
+    rng = np.random.default_rng(21)
+    base = rng.uniform(-20, 20, (n, 3))
+    base[:, 2] = np.sin(base[:, 0] * 0.35) * np.cos(base[:, 1] * 0.3) * 2.0
+    step_T = np.asarray(se3.vec2tran(jnp.asarray(np.array(
+        [0.06, 0.03, 0.01, 0.004, 0.002, 0.015], np.float32)))).astype(np.float64)
+    scans, T = [], np.eye(4)
+    for _ in range(S):
+        Ti = np.linalg.inv(T)
+        scans.append((base @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32))
+        T = T @ step_T
+    scans_j = jnp.asarray(np.stack(scans))
+    step_j = jnp.asarray(step_T.astype(np.float32))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False,
+                    const_iter=True, max_iterations=10, tolerance=1e-6,
+                    dim=3, trim_dist=2.0, loss_name="huber", loss_metric=0.5,
+                    nn_method="cluster", collect_histories=False)
+
+    @jax.jit
+    def chain(scans, off):
+        m0 = map_merge(empty_map(cap), scans[0] + off * 1e-7, voxel,
+                       with_normals=True, mode="mean")
+
+        def body(carry, scan):
+            m, pose = carry
+            p2, cv, it, m2 = map_step(m, scan, se3.compose(pose, step_j),
+                                      None, cfg, voxel, insert=True,
+                                      merge_mode="mean")
+            return (m2, p2), it
+
+        (m, pose), its = lax.scan(body, (m0, jnp.eye(4, dtype=jnp.float32)),
+                                  scans[1:])
+        return (jnp.sum(pose) + jnp.sum(m.pos) * 1e-9
+                + jnp.sum(its.astype(jnp.float32)) * 1e-6)
+
+    import time
+    out = {}
+    for K in (3, S):
+        sl = scans_j[:K]
+        float(chain(sl, jnp.float32(0.0)))   # compile
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            float(chain(sl, jnp.float32(rep + 1)))
+            best = min(best, time.perf_counter() - t0)
+        out[K] = best
+    dt = (out[S] - out[3]) / (S - 3)
+    assert dt <= 0.110, f"scan-to-map step regressed: {dt*1e3:.1f} ms/scan"
