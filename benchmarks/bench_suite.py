@@ -547,6 +547,8 @@ def bench_pipeline():
         (None, 61440, "cluster"),     # raw full-resolution scans
     ]
     results = {}
+    if os.environ.get("DICP_BENCH_STREAM_Q_ONLY"):
+        sweep = []
     for voxel, max_pts, nn in sweep:
         cfg = ICPConfig(icp_type="pt2pt", differentiable=False,
                         max_iterations=30, tolerance=1e-5, dim=3,
@@ -585,11 +587,28 @@ def bench_pipeline():
                         trim_dist=1.0, loss_name="huber", loss_metric=0.5,
                         nn_method="cluster")
 
-    def run_streamed(shift, W, warm):
+    def run_streamed(shift, W, warm, quant=False):
         ds = ScanDataset.from_dir(tmpdir2, max_points=61440, voxel=None,
                                   workers=4, prefetch=4)
-        gen = ((pts[:, :3] + shift, w) for pts, w in ds)
-        res = stream_odometry(gen, raw_cfg, window=W, warm_start=warm)
+
+        def gen():
+            for pts, w in ds:
+                p = pts[:, :3] + shift
+                if quant:
+                    # weightless transfer needs the zero-row pads replaced
+                    # by REAL rows (api.py's repeat-pad convention): pads
+                    # at the origin bias the solve ~1e-3 (measured — the
+                    # reference's sentinel-at-origin bug resurfacing).
+                    pad = w == 0
+                    n_pad = int(pad.sum())
+                    if n_pad:
+                        p[pad] = p[~pad][:n_pad]
+                    yield p, None
+                else:
+                    yield p, w
+
+        res = stream_odometry(gen(), raw_cfg, window=W, warm_start=warm,
+                              quantize=quant)
         return np.asarray(res.rel_transforms)   # host fetch: forces all work
 
     shift_n = 0
@@ -597,22 +616,29 @@ def bench_pipeline():
     # mode; the windowed rows quantify that batching LOSES on raw 60k scans
     # (the loop is device-compute-bound and dispatches are already async, so
     # a window only adds the max-iteration sync across its pairs).
-    for W, warm in ((1, True), (4, True), (8, True), (8, False)):
-        run_streamed(np.float32(0), W, warm)    # compile + warm
+    combos = ((1, True, False), (4, True, False),
+              (8, True, False), (8, False, False),
+              (1, True, True), (4, True, True))
+    if os.environ.get("DICP_BENCH_STREAM_Q_ONLY"):
+        combos = ((1, True, True), (4, True, True))
+    for W, warm, quant in combos:
+        run_streamed(np.float32(0), W, warm, quant)    # compile + warm
         best, err = float("inf"), None
         for _ in range(2):
             shift_n += 1
             t0 = time.time()
-            rels = run_streamed(np.float32(shift_n * 1e-7), W, warm)
+            rels = run_streamed(np.float32(shift_n * 1e-7), W, warm, quant)
             dt = time.time() - t0
             best = min(best, dt)
         err = float(np.max([np.linalg.norm(np.asarray(se3.tran2vec(
             jnp.asarray(r @ step_inv)))) for r in rels]))
-        tag = f"streamW{W}" + ("" if warm else "_cold")
+        tag = (f"streamW{W}" + ("" if warm else "_cold")
+               + ("_q" if quant else ""))
         results[tag] = (S2 / best, err)
-        _emit(f"pipeline_stream_window{W}" + ("" if warm else "_cold"),
+        _emit(f"pipeline_stream_window{W}" + ("" if warm else "_cold")
+              + ("_q16" if quant else ""),
               S2 / best, "frames/s", rel_err=err, scans=S2, raw_pts=60_000,
-              window=W, warm_start=warm)
+              window=W, warm_start=warm, quantized=quant)
 
     # headline = fastest setting that meets the 1e-3 accuracy bound
     ok = [(tag, f, e) for tag, (f, e) in results.items() if e <= 1e-3]

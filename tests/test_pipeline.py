@@ -87,3 +87,47 @@ def test_stream_needs_two_scans(target_np):
         assert "two scans" in str(e)
     else:
         raise AssertionError("expected ValueError for a 1-scan stream")
+
+
+def test_quantized_weightless_stream_matches(target_np):
+    """uint16-quantized transfer + weight elision (the transfer-bound
+    serving fix, dicp_tpu/pipeline.py): relative transforms must match the
+    full-precision stream to well under the quantization noise floor, and
+    omitting trivial all-ones weights must be exactly weightless."""
+    scans, _ = _make_sequence(target_np, n_scans=8)
+    # tolerance at the quantization noise floor: a 1e-10 delta-norm stop is
+    # unreachable on ~1e-4-grid-quantized inputs (the solver oscillates at
+    # the noise floor without formally converging)
+    cfg = CFG.with_(tolerance=1e-6)
+    full = stream_odometry(_as_stream(scans), cfg, window=4)
+
+    def no_w():
+        for s in np.asarray(scans):
+            yield s, None
+
+    quant = stream_odometry(no_w(), cfg, window=4, quantize=True)
+    assert bool(np.all(np.asarray(quant.converged)))
+    for i in range(7):
+        err = np.linalg.norm(np.asarray(se3.tran2vec(jnp.asarray(
+            np.asarray(quant.rel_transforms[i])
+            @ np.linalg.inv(np.asarray(full.rel_transforms[i]))))))
+        # quantization step = extent/65535 (~1e-4 here); the pose averages
+        # it down over all points
+        assert err < 1e-4, (i, err)
+
+
+def test_stream_rejects_mixed_weights(target_np):
+    scans, _ = _make_sequence(target_np, n_scans=4)
+    arr = np.asarray(scans)
+
+    def mixed():
+        yield arr[0], np.ones((arr[0].shape[0],), arr[0].dtype)
+        yield arr[1], None
+        yield arr[2], None
+
+    try:
+        stream_odometry(mixed(), CFG, window=2)
+    except ValueError as e:
+        assert "weights" in str(e)
+    else:
+        raise AssertionError("expected ValueError for mixed weights")
