@@ -11,6 +11,8 @@ regression FAILS while tunnel jitter does not):
 
   headline B=256 IFT fwd+bwd   >= 130k reg/s   (measured 152k-230k r2-r5)
   cluster 1-NN query @100k     <= 12 ms        (measured 6.8-9.4 ms fused)
+  cluster k=16 query @100k     <= 65 ms        (measured 43.2 ms fused r5;
+                                                XLA k-pass path: 92 ms)
   pallas brute 1-NN @100k      <= 80 ms        (measured ~62 ms)
   scan-to-map step @60k/65k    <= 110 ms/scan  (measured 75.7 ms r5)
 
@@ -76,6 +78,32 @@ def test_cluster_query_floor():
                       index.order, index.frame, qord,
                       k_small=2, k_big=6, reps=3)
     assert dt <= 0.012, f"cluster query regressed: {dt*1e3:.1f} ms"
+
+
+def test_cluster_knn16_floor():
+    """100k x 100k cluster k=16 exact kNN (fused VMEM extraction, the
+    `knn_indices` scale path) <= 65 ms.  Measured 43.2 ms vs 92 ms for the
+    XLA k-pass fallback (bench_suite large_cloud, r5)."""
+    from dicp_tpu.ops.cluster_knn import (ClusterIndex, build_cluster_index,
+                                          cluster_knn)
+
+    rng = np.random.default_rng(5)
+    y = rng.uniform(-20, 20, (100_000, 3)).astype(np.float32)
+    y[:, 2] = np.sin(y[:, 0] * 0.3) * 2.0
+    x = (y[rng.permutation(100_000)]
+         + rng.normal(scale=0.05, size=(100_000, 3))).astype(np.float32)
+    yj, xj = jnp.asarray(y), jnp.asarray(x)
+    index = jax.jit(lambda t: build_cluster_index(t, 128))(yj)
+
+    def step(xs, pts, cent, rad, order_, frame_):
+        ix = ClusterIndex(pts, cent, rad, order_, frame_)
+        idx, d2k, cert = cluster_knn(ix, xs, k=16, probes=32)
+        return (jnp.sum(d2k) * 1e-9 + jnp.sum(cert)
+                + jnp.sum(idx.astype(jnp.float32)) * 1e-9)
+
+    dt = chained_rate(step, xj, index.points, index.centers, index.radius,
+                      index.order, index.frame, k_small=2, k_big=5, reps=2)
+    assert dt <= 0.065, f"cluster k=16 query regressed: {dt*1e3:.1f} ms"
 
 
 def test_pallas_knn_floor():
