@@ -775,25 +775,33 @@ def bench_scan_to_map():
           note="const_iter 20-vs-10 differencing, 60k scan vs 65k-cap map")
 
     # --- host-loop serving fps (wall clock; poses fetched at the end) ---
-    def run(shift):
+    def run(shift, **kw):
         res = scan_to_map_odometry(
             ((s + shift, None) for s in scans), cfg,
-            capacity=cap, voxel=voxel)
+            capacity=cap, voxel=voxel, **kw)
         return np.asarray(res.poses), np.asarray(res.converged)
 
-    run(np.float32(0.0))  # compile + warm
-    best = float("inf")
-    for rep in range(2):
-        t0 = time.time()
-        poses, conv = run(np.float32((rep + 1) * 1e-7))
-        best = min(best, time.time() - t0)
-    err = float(np.linalg.norm(np.asarray(se3.tran2vec(jnp.asarray(
-        np.linalg.inv(poses_true[-1].astype(np.float64))
-        @ poses[-1].astype(np.float64))))))
-    traj = float(ate(jnp.asarray(poses), jnp.asarray(poses_true), align=False))
-    _emit("scan_to_map_60k", S / best, "frames/s", final_pose_err=err,
-          ate=traj, scans=S, raw_pts=n, map_cap=cap, voxel=voxel,
-          all_converged=bool(conv.all()))
+    variants = [("scan_to_map_60k", {}),
+                # stochastic front-end: the solve's correspondence pass over
+                # 2048 sampled points instead of all 60k (map_step solver=sgd)
+                ("scan_to_map_60k_sgd",
+                 dict(solver="sgd", sgd_minibatch=2048, sgd_iterations=30))]
+    for tag, kw in variants:
+        run(np.float32(0.0), **kw)  # compile + warm
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.time()
+            poses, conv = run(np.float32((rep + 1) * 1e-7), **kw)
+            best = min(best, time.time() - t0)
+        err = float(np.linalg.norm(np.asarray(se3.tran2vec(jnp.asarray(
+            np.linalg.inv(poses_true[-1].astype(np.float64))
+            @ poses[-1].astype(np.float64))))))
+        traj = float(ate(jnp.asarray(poses), jnp.asarray(poses_true),
+                         align=False))
+        _emit(tag, S / best, "frames/s", final_pose_err=err,
+              ate=traj, scans=S, raw_pts=n, map_cap=cap, voxel=voxel,
+              all_converged=bool(conv.all()), **{k: v for k, v in kw.items()
+                                                 if k != "solver"})
 
 
 ALL = {

@@ -255,10 +255,15 @@ def map_merge(m: LocalMap, scan_world: jnp.ndarray, voxel: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "voxel", "insert", "merge_mode"))
+                   static_argnames=("cfg", "voxel", "insert", "merge_mode",
+                                    "solver", "sgd_minibatch",
+                                    "sgd_iterations", "sgd_max_correction"))
 def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
              weight: Optional[jnp.ndarray], cfg: ICPConfig,
-             voxel: float, insert: bool = True, merge_mode: str = "freeze"):
+             voxel: float, insert: bool = True, merge_mode: str = "freeze",
+             solver: str = "gn", key: Optional[jax.Array] = None,
+             sgd_minibatch: int = 2048, sgd_iterations: int = 40,
+             sgd_max_correction: float = 0.5):
     """One scan-to-map odometry step, fully on device.
 
     Solves scan -> map from the predicted world pose ``t_pred`` (the result
@@ -266,29 +271,70 @@ def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
     into the map.  Returns (pose (4,4), converged (), iterations (),
     new_map).
 
+    ``solver``: ``"gn"`` (full Gauss-Newton over every scan point — the
+    accuracy default) or ``"sgd"`` (stochastic mini-batch GN,
+    :func:`dicp_tpu.sgd_icp.register_sgd`, ``key`` required): the
+    correspondence pass — the dominant per-iteration cost at serving
+    scale (BENCH.md: 5.85 ms of the 60k-vs-65k GN iteration) — runs over
+    ``sgd_minibatch`` sampled points instead of all n.  The merged map is
+    what averages the residual mini-batch noise down: each voxel's
+    running mean integrates many scans, so the map (and hence later
+    poses) is far less noisy than any single stochastic solve.
+
     Divergence guard: a non-converged solve is NOT merged (its pose is
-    still reported) — one bad solve must not poison the map.
+    still reported) — one bad solve must not poison the map.  For
+    ``"sgd"`` the guard (and the returned ``converged`` flag) is a
+    POSE-CONSISTENCY gate — finite pose whose correction
+    ``log(t_pred^-1 pose)`` has norm <= ``sgd_max_correction`` — not the
+    solver's EMA-streak flag: the streak measures whether mini-batch
+    step norms settled below ``cfg.tolerance``, which at tight
+    tolerances is a property of sampling noise (~sigma/sqrt(k) per step,
+    measured never firing at 1e-4 on a clean scene whose pose error was
+    4.6e-4), not of solve quality.  A healthy warm-started correction is
+    prediction-error-sized (<< motion step); a diverged solve lands
+    scene-scale away from the prediction.
     """
+    if solver not in ("gn", "sgd"):
+        raise ValueError(f"solver must be gn|sgd, got {solver}")
+    if solver == "sgd" and key is None:
+        raise ValueError("solver='sgd' needs an explicit PRNG key (the "
+                         "mini-batch sampler must be reproducible)")
     with_normals = cfg.icp_type != "pt2pt"
     # full-precision matmuls: the TPU's default bf16 pass corrupts world
     # coordinates by ~4 cm at +-20 m (the round-1 data-gen trap, BENCH.md)
     with jax.default_matmul_precision("float32"):
         target = map_target(m, with_normals)
-        res = register(scan[None, :, :3], target[None], t_pred[None],
-                       None if weight is None else weight[None], cfg)
-        pose = res.T[0]
+        if solver == "sgd":
+            from dicp_tpu.sgd_icp import register_sgd
+
+            res = register_sgd(
+                scan[None, :, :3], target[None], t_pred[None], key,
+                None if weight is None else weight[None],
+                icp_type=cfg.icp_type, minibatch=sgd_minibatch,
+                iterations=sgd_iterations, optimizer="gn",
+                loss_name=cfg.loss_name, loss_metric=cfg.loss_metric,
+                trim_dist=cfg.trim_dist, tolerance=cfg.tolerance,
+                nn_method=cfg.nn_method)
+            pose = res.T[0]
+            corr = se3.tran2vec(se3.compose(se3.tran_inv(t_pred), pose))
+            ok = (jnp.all(jnp.isfinite(pose))
+                  & (jnp.linalg.norm(corr) <= sgd_max_correction))
+        else:
+            res = register(scan[None, :, :3], target[None], t_pred[None],
+                           None if weight is None else weight[None], cfg)
+            pose = res.T[0]
+            ok = res.converged[0]
         scan_world = scan[:, :3] @ pose[:3, :3].T + pose[:3, 3]
     if insert:
         merged = map_merge(m, scan_world, voxel, with_normals=with_normals,
                            mode=merge_mode)
-        ok = res.converged[0]
         new_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
                 jnp.reshape(ok, (1,) * a.ndim) if a.ndim else ok, a, b),
             merged, m._replace(step=m.step + 1))
     else:
         new_map = m
-    return pose, res.converged[0], res.iterations[0], new_map
+    return pose, ok, res.iterations[0], new_map
 
 
 def scan_to_map_odometry(
@@ -301,6 +347,11 @@ def scan_to_map_odometry(
     insert_every: int = 1,
     merge_mode: str = "mean",
     pred_alpha: float = 0.3,
+    solver: str = "gn",
+    sgd_minibatch: int = 2048,
+    sgd_iterations: int = 40,
+    sgd_max_correction: float = 0.5,
+    seed: int = 0,
 ) -> OdometryResult:
     """Streaming scan-to-map odometry over (points, weight) numpy pairs.
 
@@ -337,6 +388,12 @@ def scan_to_map_odometry(
     ``insert_every`` (keyframe thinning): merge only every k-th scan —
     cheaper on dense streams; accuracy usually prefers 1 (running means
     WANT many observations).
+
+    ``solver="sgd"``: stochastic mini-batch front-end (see
+    :func:`map_step` for the pose-consistency merge gate that replaces
+    the EMA-streak convergence flag) — the throughput mode for dense
+    streams; per-scan mini-batch keys are derived deterministically from
+    ``seed`` via ``fold_in(key(seed), scan_index)``.
     """
     if cfg.icp_type not in ("pt2pt", "pt2pl"):
         raise ValueError("scan_to_map_odometry supports icp_type pt2pt|pt2pl "
@@ -348,6 +405,7 @@ def scan_to_map_odometry(
     iters = []
     prev_pose = None
     xi_ema = None
+    base_key = jax.random.key(seed) if solver == "sgd" else None
     k = 0
     for pts_np, w_np in scans:
         scan = jnp.asarray(pts_np)
@@ -367,9 +425,14 @@ def scan_to_map_odometry(
                 t_pred = se3.compose(prev_pose, se3.vec2tran(xi_ema))
             else:
                 t_pred = prev_pose
-            pose, conv, it, m = map_step(m, scan, t_pred, w, cfg, voxel,
-                                         insert=(k % insert_every == 0),
-                                         merge_mode=merge_mode)
+            pose, conv, it, m = map_step(
+                m, scan, t_pred, w, cfg, voxel,
+                insert=(k % insert_every == 0), merge_mode=merge_mode,
+                solver=solver,
+                key=(None if base_key is None
+                     else jax.random.fold_in(base_key, k)),
+                sgd_minibatch=sgd_minibatch, sgd_iterations=sgd_iterations,
+                sgd_max_correction=sgd_max_correction)
             rel = se3.compose(se3.tran_inv(prev_pose), pose)
             xi_ema = ((1.0 - pred_alpha) * xi_ema
                       + pred_alpha * se3.tran2vec(rel))

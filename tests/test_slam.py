@@ -20,6 +20,14 @@ drift a loop-closure graph genuinely removes.  Systematic sensor error
 (scale/yaw miscalibration) corrupts the closure measurements identically
 to the odometry and was measured to leave ATE unchanged; see the module
 docstring's relative-edge analysis.
+
+Realization caveat for the >=5x bar: the front-end drift is a random walk
+whose realization depends on last-ulp XLA rounding — under conftest's
+pinned --xla_force_host_platform_device_count=8 the front ATE measures
+0.866 (ratio 8.0x); on a plain single-device CPU the same inputs measure
+front 0.417 (ratio 3.3x) while the REFINED ATE is ~0.11-0.13 either way.
+The refined error is the stable quantity; the ratio bar is meaningful only
+under the pinned flag (which conftest guarantees).
 """
 
 import jax
