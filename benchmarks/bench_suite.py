@@ -723,30 +723,36 @@ def bench_scan_to_map():
     scans_j = jnp.asarray(np.stack(scans))          # (S, n, 3)
     step_j = jnp.asarray(step_T)
 
-    def chain(insert, cfg_c):
+    def chain(insert, cfg_c, solver="gn", **skw):
         @jax.jit
         def f(scans, off):
             m0 = map_merge(empty_map(cap), scans[0] + off * 1e-7, voxel,
                            with_normals=True, mode="mean")
+            key0 = jax.random.key(0)
 
-            def body(carry, scan):
+            def body(carry, xs):
                 m, pose = carry
+                scan, i = xs
                 t_pred = se3.compose(pose, step_j)
                 p2, cv, it, m2 = map_step(m, scan, t_pred, None, cfg_c,
                                           voxel, insert=insert,
-                                          merge_mode="mean")
+                                          merge_mode="mean", solver=solver,
+                                          key=(jax.random.fold_in(key0, i)
+                                               if solver == "sgd" else None),
+                                          **skw)
                 return (m2, p2), it
 
+            idx = jnp.arange(scans.shape[0] - 1, dtype=jnp.int32)
             (m, pose), its = lax.scan(body, (m0, jnp.eye(4, dtype=jnp.float32)),
-                                      scans[1:])
+                                      (scans[1:], idx))
             return (jnp.sum(pose) + jnp.sum(m.pos) * 1e-9
                     + jnp.sum(its.astype(jnp.float32)) * 1e-6)
         return f
 
-    def timed(insert, cfg_c, k_small=3, k_big=S):
+    def timed(insert, cfg_c, k_small=3, k_big=S, solver="gn", **skw):
         out = {}
         for K in (k_small, k_big):
-            f = chain(insert, cfg_c)
+            f = chain(insert, cfg_c, solver=solver, **skw)
             sl = scans_j[:K]
             t0 = time.perf_counter()
             float(f(sl, jnp.float32(0.0)))  # compile
@@ -774,6 +780,16 @@ def bench_scan_to_map():
     _emit("scan_to_map_gn_iter", per_iter * 1e3, "ms/iteration",
           note="const_iter 20-vs-10 differencing, 60k scan vs 65k-cap map")
 
+    # stochastic front-end, same chained methodology (the host-loop fps
+    # rows are tunnel-dominated and cannot A/B the solvers honestly):
+    # solve over a 2048-pt mini-batch instead of all 60k points/iteration
+    dt_sgd = timed(True, cfg, solver="sgd", sgd_minibatch=2048,
+                   sgd_iterations=30)
+    _emit("scan_to_map_60k_step_sgd", dt_sgd * 1e3, "ms/scan",
+          sgd_minibatch=2048, sgd_iterations=30,
+          vs_gn_step=round(dt_full / dt_sgd, 2),
+          note="chained; merge cost identical, solve is the delta")
+
     # --- host-loop serving fps (wall clock; poses fetched at the end) ---
     def run(shift, **kw):
         res = scan_to_map_odometry(
@@ -781,6 +797,8 @@ def bench_scan_to_map():
             capacity=cap, voxel=voxel, **kw)
         return np.asarray(res.poses), np.asarray(res.converged)
 
+    if os.environ.get("DICP_S2M_STEP_ONLY"):
+        return
     variants = [("scan_to_map_60k", {}),
                 # stochastic front-end: the solve's correspondence pass over
                 # 2048 sampled points instead of all 60k (map_step solver=sgd)
