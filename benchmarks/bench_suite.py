@@ -790,6 +790,14 @@ def bench_scan_to_map():
           vs_gn_step=round(dt_full / dt_sgd, 2),
           note="chained; merge cost identical, solve is the delta")
 
+    # + subsampled merge (exp_merge.py: ~45% of the merge is scan normal
+    # estimation, linear in merged rows) — the serving-throughput stack
+    dt_sgd_sub = timed(True, cfg, solver="sgd", sgd_minibatch=2048,
+                       sgd_iterations=30, merge_subsample=20_000)
+    _emit("scan_to_map_60k_step_sgd_sub", dt_sgd_sub * 1e3, "ms/scan",
+          sgd_minibatch=2048, sgd_iterations=30, merge_subsample=20_000,
+          vs_gn_step=round(dt_full / dt_sgd_sub, 2))
+
     # --- host-loop serving fps (wall clock; poses fetched at the end) ---
     def run(shift, **kw):
         res = scan_to_map_odometry(

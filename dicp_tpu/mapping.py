@@ -257,13 +257,15 @@ def map_merge(m: LocalMap, scan_world: jnp.ndarray, voxel: float,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "voxel", "insert", "merge_mode",
                                     "solver", "sgd_minibatch",
-                                    "sgd_iterations", "sgd_max_correction"))
+                                    "sgd_iterations", "sgd_max_correction",
+                                    "merge_subsample"))
 def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
              weight: Optional[jnp.ndarray], cfg: ICPConfig,
              voxel: float, insert: bool = True, merge_mode: str = "freeze",
              solver: str = "gn", key: Optional[jax.Array] = None,
              sgd_minibatch: int = 2048, sgd_iterations: int = 40,
-             sgd_max_correction: float = 0.5):
+             sgd_max_correction: float = 0.5,
+             merge_subsample: Optional[int] = None):
     """One scan-to-map odometry step, fully on device.
 
     Solves scan -> map from the predicted world pose ``t_pred`` (the result
@@ -280,6 +282,16 @@ def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
     what averages the residual mini-batch noise down: each voxel's
     running mean integrates many scans, so the map (and hence later
     poses) is far less noisy than any single stochastic solve.
+
+    ``merge_subsample``: merge only a strided subset of the posed scan
+    (the SOLVE still uses every point).  The per-scan merge cost is
+    dominated by estimating the incoming scan's normals (6.6 of 14.8 ms
+    at 60k, benchmarks/exp_merge.py) plus the union-row sort/reduce —
+    both scale with the merged row count, while the map's running means
+    integrate observations ACROSS scans anyway: a voxel seen by a third
+    of each scan for 3 scans has the same observation count as one full
+    merge.  A strided subset is spatially systematic for ordered sensor
+    scans.
 
     Divergence guard: a non-converged solve is NOT merged (its pose is
     still reported) — one bad solve must not poison the map.  For
@@ -326,7 +338,11 @@ def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
             ok = res.converged[0]
         scan_world = scan[:, :3] @ pose[:3, :3].T + pose[:3, 3]
     if insert:
-        merged = map_merge(m, scan_world, voxel, with_normals=with_normals,
+        merge_pts = scan_world
+        if merge_subsample is not None and merge_subsample < scan.shape[0]:
+            stride = -(-scan.shape[0] // merge_subsample)
+            merge_pts = scan_world[::stride]
+        merged = map_merge(m, merge_pts, voxel, with_normals=with_normals,
                            mode=merge_mode)
         new_map = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
@@ -351,6 +367,7 @@ def scan_to_map_odometry(
     sgd_minibatch: int = 2048,
     sgd_iterations: int = 40,
     sgd_max_correction: float = 0.5,
+    merge_subsample: Optional[int] = None,
     seed: int = 0,
 ) -> OdometryResult:
     """Streaming scan-to-map odometry over (points, weight) numpy pairs.
@@ -432,7 +449,8 @@ def scan_to_map_odometry(
                 key=(None if base_key is None
                      else jax.random.fold_in(base_key, k)),
                 sgd_minibatch=sgd_minibatch, sgd_iterations=sgd_iterations,
-                sgd_max_correction=sgd_max_correction)
+                sgd_max_correction=sgd_max_correction,
+                merge_subsample=merge_subsample)
             rel = se3.compose(se3.tran_inv(prev_pose), pose)
             xi_ema = ((1.0 - pred_alpha) * xi_ema
                       + pred_alpha * se3.tran2vec(rel))

@@ -110,6 +110,21 @@ def test_sgd_front_end_tracks_trajectory():
                  solver="sgd")
 
 
+def test_merge_subsample_tracks_trajectory():
+    """merge_subsample: solving with every point but merging a strided
+    third of each scan must still track the clean trajectory (the running
+    means integrate observations across scans; exp_merge.py attributes
+    ~45% of the merge cost to scan normal estimation, which this cuts
+    proportionally)."""
+    scans, poses_true = _sequence(6)
+    res = scan_to_map_odometry(((s, None) for s in scans), CFG,
+                               capacity=8192, voxel=0.25,
+                               merge_subsample=700)
+    assert bool(jnp.all(res.converged))
+    err = float(ate(res.poses, poses_true, align=False))
+    assert err < 3e-3, err
+
+
 def test_merge_modes_agree_on_clean_data():
     """freeze vs mean merge: identical first insert; both track a clean
     trajectory (values only diverge by noise averaging, absent here)."""
