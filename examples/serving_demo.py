@@ -7,7 +7,13 @@ a stream, and `dicp_tpu.pipeline.stream_odometry` keeps the device busy by
   * shipping each preprocessed scan host->device exactly once,
   * dispatching ONE jitted program per window of K consecutive pairs,
   * returning device futures so several windows stay in flight while the
-    host preprocesses the next ones.
+    host preprocesses the next ones,
+  * seeding every dispatch with the constant-velocity prior (warm start —
+    default on), and
+  * optionally shipping scans as packed (n, 4) uint16 (8 bytes/point,
+    dequantized on device): on a remote-attached chip the h2d transfer,
+    not the solve, bounds the raw-scan serving rate (BENCH.md: 42 ->
+    62.6 fps at 60k points/scan).
 
 Run:  python examples/serving_demo.py  (uses whatever jax.devices() offers)
 """
@@ -50,7 +56,8 @@ def main():
                     tolerance=1e-6, dim=3, trim_dist=1.0,
                     loss_name="huber", loss_metric=0.5, nn_method="auto")
 
-    # disk -> native C++ preprocess -> device, windowed dispatch
+    # disk -> native C++ preprocess -> device, windowed dispatch with the
+    # constant-velocity warm start (default)
     ds = ScanDataset.from_dir(tmpdir, max_points=n, voxel=None,
                               workers=2, prefetch=4)
     t0 = time.time()
@@ -58,9 +65,24 @@ def main():
     dt = time.time() - t0
 
     err = float(ate(res.poses, jnp.asarray(np.stack(poses_true)), align=False))
-    print(f"{S} scans in {dt:.2f}s wall ({S / dt:.1f} fps incl. compile), "
-          f"ATE {err:.2e}, all converged: {bool(jnp.all(res.converged))}")
+    print(f"f32 stream : {S} scans in {dt:.2f}s wall ({S / dt:.1f} fps incl. "
+          f"compile), ATE {err:.2e}, all converged: "
+          f"{bool(jnp.all(res.converged))}")
     assert err < 1e-2, "trajectory drifted"
+
+    # quantized transfers: 8 B/point over the wire instead of 12, weights
+    # elided (quantize requires weightless scans with no zero-row padding)
+    ds = ScanDataset.from_dir(tmpdir, max_points=n, voxel=None,
+                              workers=2, prefetch=4)
+    t0 = time.time()
+    res_q = stream_odometry(((pts[:, :3], None) for pts, _ in ds), cfg,
+                            window=4, quantize=True)
+    dt_q = time.time() - t0
+    err_q = float(ate(res_q.poses, jnp.asarray(np.stack(poses_true)),
+                      align=False))
+    print(f"quantized  : {S} scans in {dt_q:.2f}s wall ({S / dt_q:.1f} fps "
+          f"incl. compile), ATE {err_q:.2e}")
+    assert err_q < 1e-2, "quantized trajectory drifted"
 
 
 if __name__ == "__main__":
