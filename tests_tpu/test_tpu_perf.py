@@ -14,7 +14,9 @@ regression FAILS while tunnel jitter does not):
   cluster k=16 query @100k     <= 65 ms        (measured 43.2 ms fused r5;
                                                 XLA k-pass path: 92 ms)
   pallas brute 1-NN @100k      <= 80 ms        (measured ~62 ms)
-  scan-to-map step @60k/65k    <= 110 ms/scan  (measured 75.7 ms r5)
+  scan-to-map step @60k/65k    <= 110 ms/scan  (measured 74.9-75.9 ms r5)
+  scan-to-map sgd step         <= 45 ms/scan   (measured 29.4/29.4 ms r5;
+                                                23.0 with merge_subsample)
 
 Also the on-chip correctness gaps VERDICT flagged: symmetric ICP and the
 streaming Gumbel soft-NN run compiled on the real chip.
@@ -307,3 +309,68 @@ def test_scan_to_map_step_floor():
         out[K] = best
     dt = (out[S] - out[3]) / (S - 3)
     assert dt <= 0.110, f"scan-to-map step regressed: {dt*1e3:.1f} ms/scan"
+
+
+def test_scan_to_map_sgd_step_floor():
+    """Stochastic scan-to-map step (solver='sgd', k=2048 mini-batch, the
+    serving-throughput mode) <= 45 ms/scan (measured 29.4 ms twice in r5;
+    23.0 ms with merge_subsample — this floor pins the plain sgd path)."""
+    from jax import lax
+
+    from dicp_tpu import se3
+    from dicp_tpu.config import ICPConfig
+    from dicp_tpu.mapping import empty_map, map_merge, map_step
+
+    S, n, cap, voxel = 8, 60_000, 65_536, 0.25
+    rng = np.random.default_rng(23)
+    base = rng.uniform(-20, 20, (n, 3))
+    base[:, 2] = np.sin(base[:, 0] * 0.35) * np.cos(base[:, 1] * 0.3) * 2.0
+    step_T = np.asarray(se3.vec2tran(jnp.asarray(np.array(
+        [0.06, 0.03, 0.01, 0.004, 0.002, 0.015], np.float32)))).astype(np.float64)
+    scans, T = [], np.eye(4)
+    for _ in range(S):
+        Ti = np.linalg.inv(T)
+        scans.append((base @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32))
+        T = T @ step_T
+    scans_j = jnp.asarray(np.stack(scans))
+    step_j = jnp.asarray(step_T.astype(np.float32))
+    cfg = ICPConfig(icp_type="pt2pl", differentiable=False,
+                    max_iterations=30, tolerance=1e-6,
+                    dim=3, trim_dist=2.0, loss_name="huber", loss_metric=0.5,
+                    nn_method="cluster", collect_histories=False)
+
+    @jax.jit
+    def chain(scans, off):
+        m0 = map_merge(empty_map(cap), scans[0] + off * 1e-7, voxel,
+                       with_normals=True, mode="mean")
+        key0 = jax.random.key(0)
+
+        def body(carry, xs):
+            m, pose = carry
+            scan, i = xs
+            p2, cv, it, m2 = map_step(m, scan, se3.compose(pose, step_j),
+                                      None, cfg, voxel, insert=True,
+                                      merge_mode="mean", solver="sgd",
+                                      key=jax.random.fold_in(key0, i),
+                                      sgd_minibatch=2048, sgd_iterations=30)
+            return (m2, p2), it
+
+        idx = jnp.arange(scans.shape[0] - 1, dtype=jnp.int32)
+        (m, pose), its = lax.scan(body, (m0, jnp.eye(4, dtype=jnp.float32)),
+                                  (scans[1:], idx))
+        return (jnp.sum(pose) + jnp.sum(m.pos) * 1e-9
+                + jnp.sum(its.astype(jnp.float32)) * 1e-6)
+
+    import time
+    out = {}
+    for K in (3, S):
+        sl = scans_j[:K]
+        float(chain(sl, jnp.float32(0.0)))   # compile
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            float(chain(sl, jnp.float32(rep + 1)))
+            best = min(best, time.perf_counter() - t0)
+        out[K] = best
+    dt = (out[S] - out[3]) / (S - 3)
+    assert dt <= 0.045, f"sgd scan-to-map step regressed: {dt*1e3:.1f} ms/scan"
