@@ -766,6 +766,10 @@ def bench_scan_to_map():
             out[K] = best
         return (out[k_big] - out[k_small]) / (k_big - k_small)
 
+    if os.environ.get("DICP_S2M_LOOP_ONLY"):
+        _scan_to_map_host_loop(scans, poses_true, cfg, S, n, cap, voxel)
+        return
+
     cfg10 = cfg.with_(const_iter=True, max_iterations=10)
     cfg20 = cfg.with_(const_iter=True, max_iterations=20)
     dt_full = timed(True, cfg10)     # solve(10 it) + merge
@@ -798,20 +802,38 @@ def bench_scan_to_map():
           sgd_minibatch=2048, sgd_iterations=30, merge_subsample=20_000,
           vs_gn_step=round(dt_full / dt_sgd_sub, 2))
 
-    # --- host-loop serving fps (wall clock; poses fetched at the end) ---
+    if os.environ.get("DICP_S2M_STEP_ONLY"):
+        return
+    _scan_to_map_host_loop(scans, poses_true, cfg, S, n, cap, voxel)
+
+
+def _scan_to_map_host_loop(scans, poses_true, cfg, S, n, cap, voxel):
+    """Host-loop serving fps (wall clock; poses fetched at the end).
+
+    Tunnel-dominated — BENCH.md records 10.7 fps in a morning window vs
+    1.9 fps in an afternoon congestion window at identical chained step
+    costs; interpret the gn/sgd/sub *ratios* within one run, not absolute
+    fps across runs."""
+    import jax.numpy as jnp
+
+    from dicp_tpu import se3
+    from dicp_tpu.mapping import scan_to_map_odometry
+    from dicp_tpu.odometry import ate
+
     def run(shift, **kw):
         res = scan_to_map_odometry(
             ((s + shift, None) for s in scans), cfg,
             capacity=cap, voxel=voxel, **kw)
         return np.asarray(res.poses), np.asarray(res.converged)
 
-    if os.environ.get("DICP_S2M_STEP_ONLY"):
-        return
     variants = [("scan_to_map_60k", {}),
                 # stochastic front-end: the solve's correspondence pass over
                 # 2048 sampled points instead of all 60k (map_step solver=sgd)
                 ("scan_to_map_60k_sgd",
-                 dict(solver="sgd", sgd_minibatch=2048, sgd_iterations=30))]
+                 dict(solver="sgd", sgd_minibatch=2048, sgd_iterations=30)),
+                ("scan_to_map_60k_sgd_sub",
+                 dict(solver="sgd", sgd_minibatch=2048, sgd_iterations=30,
+                      merge_subsample=20_000))]
     for tag, kw in variants:
         run(np.float32(0.0), **kw)  # compile + warm
         best = float("inf")
