@@ -265,7 +265,8 @@ def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
              solver: str = "gn", key: Optional[jax.Array] = None,
              sgd_minibatch: int = 2048, sgd_iterations: int = 40,
              sgd_max_correction: float = 0.5,
-             merge_subsample: Optional[int] = None):
+             merge_subsample: Optional[int] = None,
+             deq: Optional[jnp.ndarray] = None):
     """One scan-to-map odometry step, fully on device.
 
     Solves scan -> map from the predicted world pose ``t_pred`` (the result
@@ -311,6 +312,13 @@ def map_step(m: LocalMap, scan: jnp.ndarray, t_pred: jnp.ndarray,
     if solver == "sgd" and key is None:
         raise ValueError("solver='sgd' needs an explicit PRNG key (the "
                          "mini-batch sampler must be reproducible)")
+    if deq is not None:
+        # scan arrived as the pipeline's packed uint16 transfer (8 B/point
+        # over the wire instead of 12 — the scan-to-map host loop is
+        # h2d-transfer-bound, BENCH.md); decode fuses into this program
+        from dicp_tpu.pipeline import dequantize_scan
+
+        scan = dequantize_scan(scan, deq)
     with_normals = cfg.icp_type != "pt2pt"
     # full-precision matmuls: the TPU's default bf16 pass corrupts world
     # coordinates by ~4 cm at +-20 m (the round-1 data-gen trap, BENCH.md)
@@ -368,6 +376,7 @@ def scan_to_map_odometry(
     sgd_iterations: int = 40,
     sgd_max_correction: float = 0.5,
     merge_subsample: Optional[int] = None,
+    quantize: bool = False,
     seed: int = 0,
 ) -> OdometryResult:
     """Streaming scan-to-map odometry over (points, weight) numpy pairs.
@@ -411,6 +420,16 @@ def scan_to_map_odometry(
     the EMA-streak convergence flag) — the throughput mode for dense
     streams; per-scan mini-batch keys are derived deterministically from
     ``seed`` via ``fold_in(key(seed), scan_index)``.
+
+    ``quantize``: ship each scan host->device as the pipeline's packed
+    (n, 4) uint16 transfer (8 B/point at ~20-bit xy resolution,
+    dequantized inside the solve program; quantization math runs in a
+    prefetch thread).  The host loop is h2d-transfer-bound — in a
+    congestion window the solver choice barely moved it while the f32
+    scan transfer dominated (BENCH.md) — so fewer bytes is the serving
+    lever.  Requires weightless scans (``weight is None``); adds the
+    quantization's ~1e-4-scale fixed-point shift (same mechanism as the
+    pipeline's measured 1.16e-4 at 60k).
     """
     if cfg.icp_type not in ("pt2pt", "pt2pl"):
         raise ValueError("scan_to_map_odometry supports icp_type pt2pt|pt2pl "
@@ -423,15 +442,38 @@ def scan_to_map_odometry(
     prev_pose = None
     xi_ema = None
     base_key = jax.random.key(seed) if solver == "sgd" else None
+    # encode (when quantizing) AND device_put in a daemon prefetch thread:
+    # an inline jnp.asarray of a 60k-pt scan is a BLOCKING ~20 ms h2d on
+    # the main thread, serializing transfer after the previous dispatch
+    # instead of overlapping it with the device solve
+    from dicp_tpu.pipeline import _prefetched, _quantize_host
+
+    def _prep(stream):
+        for pts_np, w_np in stream:
+            if quantize:
+                if w_np is not None:
+                    raise ValueError(
+                        "quantize=True requires weightless scans "
+                        "(weight transfer would defeat the byte budget; "
+                        "pass weight=None)")
+                parts_np, deq_np = _quantize_host(pts_np)
+                yield (tuple(jnp.asarray(p) for p in parts_np),
+                       jnp.asarray(deq_np), None, pts_np)
+            else:
+                yield (jnp.asarray(pts_np), None,
+                       None if w_np is None else jnp.asarray(w_np), pts_np)
+
     k = 0
-    for pts_np, w_np in scans:
-        scan = jnp.asarray(pts_np)
-        w = None if w_np is None else jnp.asarray(w_np)
+    for scan, deq, w, pts_np in _prefetched(_prep(scans)):
         if m is None:
-            dtype = scan.dtype
+            # seed scan: one full-precision f32 transfer (a one-off; the
+            # steady-state loop ships only the packed arrays)
+            seed = (jnp.asarray(np.asarray(pts_np[:, :3], np.float32))
+                    if quantize else scan[:, :3])
+            dtype = seed.dtype
             m = empty_map(capacity, dtype)
             pose = jnp.eye(4, dtype=dtype)
-            m = map_merge(m, scan[:, :3], voxel,
+            m = map_merge(m, seed, voxel,
                           with_normals=cfg.icp_type != "pt2pt",
                           mode=merge_mode)
             conv = jnp.asarray(True)
@@ -450,7 +492,7 @@ def scan_to_map_odometry(
                      else jax.random.fold_in(base_key, k)),
                 sgd_minibatch=sgd_minibatch, sgd_iterations=sgd_iterations,
                 sgd_max_correction=sgd_max_correction,
-                merge_subsample=merge_subsample)
+                merge_subsample=merge_subsample, deq=deq)
             rel = se3.compose(se3.tran_inv(prev_pose), pose)
             xi_ema = ((1.0 - pred_alpha) * xi_ema
                       + pred_alpha * se3.tran2vec(rel))

@@ -66,22 +66,8 @@ def _window_solve(scans: Tuple[jnp.ndarray, ...],
     bytes/point instead of 12 at ~20-bit xy resolution, in a single
     transfer per scan (each extra device_put pays a tunnel RTT)."""
     if deq is not None:
-        def dq(qt, d):
-            arr = qt[0]              # (n, 4) uint16: qx qy qz tile-id
-            q, tid = arr[:, :3], arr[:, 3]
-            tx = (tid >> 4).astype(jnp.float32)
-            ty = (tid & 15).astype(jnp.float32)
-            off = jnp.stack([tx * d[2, 0], ty * d[2, 1],
-                             jnp.zeros_like(tx)], axis=-1)
-            xyz = q.astype(jnp.float32) * d[1] + d[0] + off
-            if len(qt) == 2:        # int8 normals (6-col scans)
-                nrm = qt[1].astype(jnp.float32) / 127.0
-                nrm = nrm / jnp.maximum(
-                    jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
-                return jnp.concatenate([xyz, nrm], axis=-1)
-            return xyz
-
-        pts = jnp.stack([dq(qt, d) for qt, d in zip(scans, deq)])
+        pts = jnp.stack([dequantize_scan(qt, d)
+                         for qt, d in zip(scans, deq)])
     else:
         pts = jnp.stack(scans)                  # (K+1, n, c)
     w = None if weights is None else jnp.stack(weights[1:])   # (K, n)
@@ -201,6 +187,26 @@ def stream_registrations(
             yield out
     if len(dev_scans) >= 2:
         yield flush()
+
+
+def dequantize_scan(qt: Tuple[jnp.ndarray, ...], d: jnp.ndarray) -> jnp.ndarray:
+    """Device side of the quantized transfer (traceable; fuses into the
+    consuming program).  ``qt`` = ((n, 4) uint16 [qx qy qz tile-id]
+    [, (n, 3) int8 normals]); ``d`` = (3, 3) f32 [lo; step; tile] from
+    :func:`_quantize_host`.  Returns (n, 3) or (n, 6) f32 points."""
+    arr = qt[0]              # (n, 4) uint16: qx qy qz tile-id
+    q, tid = arr[:, :3], arr[:, 3]
+    tx = (tid >> 4).astype(jnp.float32)
+    ty = (tid & 15).astype(jnp.float32)
+    off = jnp.stack([tx * d[2, 0], ty * d[2, 1],
+                     jnp.zeros_like(tx)], axis=-1)
+    xyz = q.astype(jnp.float32) * d[1] + d[0] + off
+    if len(qt) == 2:        # int8 normals (6-col scans)
+        nrm = qt[1].astype(jnp.float32) / 127.0
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+        return jnp.concatenate([xyz, nrm], axis=-1)
+    return xyz
 
 
 def _quantize_host(pts_np: np.ndarray):

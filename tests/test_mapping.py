@@ -125,6 +125,31 @@ def test_merge_subsample_tracks_trajectory():
     assert err < 3e-3, err
 
 
+def test_quantized_scan_transfer():
+    """quantize=True: scans cross host->device as packed (n, 4) uint16 and
+    are dequantized inside the solve program; the trajectory must match
+    the f32 stream to the quantization's fixed-point shift (~1e-4 scale,
+    the pipeline's measured mechanism), and weighted scans must be
+    rejected (weight transfer defeats the byte budget)."""
+    scans, poses_true = _sequence(6)
+    scans32 = [s.astype(np.float32) for s in scans]
+    cfg = CFG.with_(tolerance=1e-6)
+    res_f = scan_to_map_odometry(((s, None) for s in scans32), cfg,
+                                 capacity=8192, voxel=0.25)
+    res_q = scan_to_map_odometry(((s, None) for s in scans32), cfg,
+                                 capacity=8192, voxel=0.25, quantize=True)
+    assert bool(jnp.all(res_q.converged))
+    err = float(ate(res_q.poses, poses_true.astype(res_q.poses.dtype),
+                    align=False))
+    err_f = float(ate(res_f.poses, poses_true.astype(res_f.poses.dtype),
+                      align=False))
+    assert err < max(5 * err_f, 2e-3), (err, err_f)
+    with pytest.raises(ValueError, match="weightless"):
+        scan_to_map_odometry(
+            ((s, np.ones(s.shape[0], np.float32)) for s in scans32), cfg,
+            capacity=8192, voxel=0.25, quantize=True)
+
+
 def test_merge_modes_agree_on_clean_data():
     """freeze vs mean merge: identical first insert; both track a clean
     trajectory (values only diverge by noise averaging, absent here)."""
